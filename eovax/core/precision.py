@@ -1,0 +1,63 @@
+"""Mixed-precision policy for TPU.
+
+The reference trains with Lightning ``precision: 16-mixed`` (fp16 compute,
+fp32 master weights — /root/reference/configs/eo-vae.yaml:79) and forces
+fp32 islands for the FFT loss (/root/reference/eo_vae/models/modules/ffl.py:35-41)
+and the stage-1 distillation trainer (weight_distill_train.py:540).
+
+On TPU the idiomatic equivalent is **bfloat16** compute with fp32 parameters
+and fp32 islands for normalization statistics, FFT, and MS-SSIM. bf16 shares
+fp32's exponent range, so the reference's fp16-overflow workarounds are not
+needed — but we keep the fp32 islands for numerical parity of reductions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Policy:
+    """Dtype policy threaded through model code.
+
+    Attributes:
+        param_dtype: dtype in which parameters are stored (always fp32 here).
+        compute_dtype: dtype for conv/matmul compute (bf16 on TPU for speed).
+        norm_dtype: dtype for normalization statistics and softmax (fp32).
+        precision: matmul/conv precision. TPU runs fp32 contractions at
+            bf16 by default; the fp32 policy pins HIGHEST so results match
+            the torch reference bit-near. The bf16 policy uses the native
+            bf16×bf16→fp32 MXU path (precision=None).
+    """
+
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
+    precision: jax.lax.Precision | None = jax.lax.Precision.HIGHEST
+
+    def cast_to_compute(self, x):
+        return jnp.asarray(x, self.compute_dtype)
+
+    def cast_to_norm(self, x):
+        return jnp.asarray(x, self.norm_dtype)
+
+
+#: fp32 everywhere — used for parity tests and stage-1 distillation.
+FULL_PRECISION = Policy()
+
+#: bf16 compute / fp32 params — the TPU production policy (stage-2/3 training
+#: and inference). Matches the reference's "16-mixed" intent.
+DEFAULT_POLICY = Policy(compute_dtype=jnp.bfloat16, precision=None)
+
+
+def policy_from_name(name: str) -> Policy:
+    """Map config strings ('32-true', '16-mixed', 'bf16-mixed', ...) to a Policy."""
+    name = str(name).lower()
+    if name in ("32", "32-true", "fp32", "float32"):
+        return FULL_PRECISION
+    if name in ("16-mixed", "bf16-mixed", "bf16", "bfloat16", "mixed"):
+        return DEFAULT_POLICY
+    raise ValueError(f"Unknown precision policy: {name!r}")

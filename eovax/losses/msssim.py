@@ -1,0 +1,133 @@
+"""Multi-scale SSIM (NHWC, fp32) with torchmetrics-compatible semantics.
+
+The reference's SSIMLoss wraps torchmetrics
+``MultiScaleStructuralSimilarityIndexMeasure(data_range=6.0, kernel_size=5,
+betas=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333))``
+(/root/reference/eo_vae/models/modules/consistency_loss.py:24-37). This
+module replicates that algorithm: reflect-pad → gaussian filter → crop,
+per-sample contrast sensitivity per scale, 2×2 average-pool between scales,
+``relu`` normalization, beta-weighted product.
+
+TPU notes: the gaussian filter is separable — two depthwise 1-D convs on
+the VPU — and the whole pyramid fuses under jit. Runs in fp32 (small
+constant c1/c2 sums are precision-sensitive).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_BETAS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_1d(kernel_size: int, sigma: float) -> tuple[float, ...]:
+    import numpy as np
+
+    dist = np.arange((1 - kernel_size) / 2, (1 + kernel_size) / 2, 1.0)
+    g = np.exp(-((dist / sigma) ** 2) / 2.0)
+    g = g / g.sum()
+    return tuple(float(v) for v in g)
+
+
+def _depthwise_blur(x: jax.Array, kernel_size: int, sigma: float) -> jax.Array:
+    """Separable gaussian filter, VALID padding. x: [B,H,W,C] fp32."""
+    c = x.shape[-1]
+    g = jnp.asarray(_gaussian_1d(kernel_size, sigma), jnp.float32)
+    kh = jnp.tile(g.reshape(kernel_size, 1, 1, 1), (1, 1, 1, c))
+    kw = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, c))
+    dn = ("NHWC", "HWIO", "NHWC")
+    hi = jax.lax.Precision.HIGHEST
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=hi,
+    )
+    return jax.lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=hi,
+    )
+
+
+def _ssim_and_cs(
+    pred: jax.Array,
+    target: jax.Array,
+    data_range: float,
+    kernel_size: int,
+    sigma: float,
+    k1: float,
+    k2: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-sample mean SSIM and contrast sensitivity (torchmetrics algo)."""
+    pad = (kernel_size - 1) // 2
+    pw = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    pred = jnp.pad(pred, pw, mode="reflect")
+    target = jnp.pad(target, pw, mode="reflect")
+
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    blur = lambda t: _depthwise_blur(t, kernel_size, sigma)  # noqa: E731
+    mu_p, mu_t = blur(pred), blur(target)
+    mu_pp, mu_tt, mu_pt = blur(pred * pred), blur(target * target), blur(pred * target)
+
+    sigma_p = mu_pp - mu_p * mu_p
+    sigma_t = mu_tt - mu_t * mu_t
+    sigma_pt = mu_pt - mu_p * mu_t
+
+    upper = 2.0 * sigma_pt + c2
+    lower = sigma_p + sigma_t + c2
+    ssim_map = ((2.0 * mu_p * mu_t + c1) * upper) / ((mu_p**2 + mu_t**2 + c1) * lower)
+    cs_map = upper / lower
+
+    # Crop the padded border (torchmetrics _ssim_update).
+    ssim_map = ssim_map[:, pad : ssim_map.shape[1] - pad, pad : ssim_map.shape[2] - pad, :]
+    cs_map = cs_map[:, pad : cs_map.shape[1] - pad, pad : cs_map.shape[2] - pad, :]
+
+    b = ssim_map.shape[0]
+    return ssim_map.reshape(b, -1).mean(axis=-1), cs_map.reshape(b, -1).mean(axis=-1)
+
+
+def _avg_pool2(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) * 0.25
+
+
+def multiscale_ssim(
+    pred: jax.Array,
+    target: jax.Array,
+    *,
+    data_range: float = 6.0,
+    kernel_size: int = 5,
+    sigma: float = 1.5,
+    betas: tuple[float, ...] = DEFAULT_BETAS,
+    k1: float = 0.01,
+    k2: float = 0.03,
+    normalize: str | None = "relu",
+) -> jax.Array:
+    """MS-SSIM over NHWC batches → scalar (elementwise-mean reduction)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+
+    mcs = []
+    sim = None
+    for i in range(len(betas)):
+        sim, cs = _ssim_and_cs(pred, target, data_range, kernel_size, sigma, k1, k2)
+        mcs.append(cs)
+        if i != len(betas) - 1:
+            pred, target = _avg_pool2(pred), _avg_pool2(target)
+    mcs[-1] = sim  # last scale contributes full SSIM, not CS
+
+    stack = jnp.stack(mcs)  # [scales, B]
+    if normalize == "relu":
+        stack = jax.nn.relu(stack)
+    weighted = stack ** jnp.asarray(betas, jnp.float32).reshape(-1, 1)
+    return jnp.prod(weighted, axis=0).mean()
+
+
+def msssim_loss(pred: jax.Array, target: jax.Array, **kw) -> jax.Array:
+    """1 − MS-SSIM (consistency_loss.py:35-37)."""
+    return 1.0 - multiscale_ssim(pred, target, **kw)

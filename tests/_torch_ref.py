@@ -1,0 +1,66 @@
+"""Load the PyTorch reference's pure-torch modules for golden-value tests.
+
+The reference package's __init__ chain pulls in lightning (not installed),
+so we materialize only the dependency-light module files
+(layers/dynamic_conv/distributions/model) under a synthetic package.
+Reference code is executed, never copied, to produce parity fixtures —
+the strategy recommended in SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+REF = "/root/reference/eo_vae/models"
+
+_PKG = "eoref"
+
+
+def _ensure_pkg():
+    if _PKG in sys.modules:
+        return
+    for name in (_PKG, f"{_PKG}.modules"):
+        mod = types.ModuleType(name)
+        mod.__path__ = []
+        sys.modules[name] = mod
+
+    def load(name: str, path: str):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load(f"{_PKG}.modules.layers", f"{REF}/modules/layers.py")
+    load(f"{_PKG}.modules.dynamic_conv", f"{REF}/modules/dynamic_conv.py")
+    load(f"{_PKG}.modules.distributions", f"{REF}/modules/distributions.py")
+    # model.py does `from .modules.dynamic_conv import ...` relative to its
+    # package — emulate by aliasing under the synthetic package root.
+    sys.modules[f"{_PKG}.modules"].layers = sys.modules[f"{_PKG}.modules.layers"]
+    sys.modules[f"{_PKG}.modules"].dynamic_conv = sys.modules[f"{_PKG}.modules.dynamic_conv"]
+    spec = importlib.util.spec_from_file_location(
+        f"{_PKG}.model", f"{REF}/model.py", submodule_search_locations=[]
+    )
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = _PKG
+    sys.modules[f"{_PKG}.model"] = mod
+    spec.loader.exec_module(mod)
+
+
+def torch_modules():
+    """Return (layers, dynamic_conv, distributions, model) reference modules."""
+    _ensure_pkg()
+    return (
+        sys.modules[f"{_PKG}.modules.layers"],
+        sys.modules[f"{_PKG}.modules.dynamic_conv"],
+        sys.modules[f"{_PKG}.modules.distributions"],
+        sys.modules[f"{_PKG}.model"],
+    )
+
+
+def torch_state_dict_numpy(module) -> dict:
+    import numpy as np
+
+    return {k: v.detach().cpu().numpy().astype(np.float32) for k, v in module.state_dict().items()}

@@ -1,0 +1,28 @@
+"""Test environment: virtual 8-device CPU mesh.
+
+Per the build plan (SURVEY.md §4), multi-device behavior is tested on a
+CPU-simulated mesh; the real TPU chip is exercised by bench.py.
+
+This host registers a TPU PJRT plugin from sitecustomize at interpreter
+start (which also pins JAX_PLATFORMS), so plain env vars set here are too
+late — but the backend itself is not yet initialized, and
+``jax.config.update`` still wins.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
