@@ -58,10 +58,19 @@ def resolve_interpolations(cfg: Any, root: dict | None = None) -> Any:
 
     def resolve_value(v: Any) -> Any:
         if isinstance(v, str):
-            full = _INTERP_RE.fullmatch(v.strip())
-            if full:  # whole-string interpolation keeps the native type
-                return _resolve_token(full.group(1), root)
-            return _INTERP_RE.sub(lambda m: str(_resolve_token(m.group(1), root)), v)
+            # Iterate: inner ${…} tokens resolve first, enabling nesting
+            # like ${eval:${a} * 2}.
+            prev = None
+            while isinstance(v, str) and "${" in v and v != prev:
+                prev = v
+                full = _INTERP_RE.fullmatch(v.strip())
+                if full:  # whole-string interpolation keeps the native type
+                    v = _resolve_token(full.group(1), root)
+                else:
+                    v = _INTERP_RE.sub(
+                        lambda m: str(_resolve_token(m.group(1), root)), v
+                    )
+            return v
         if isinstance(v, dict):
             return {k: resolve_value(x) for k, x in v.items()}
         if isinstance(v, list):
