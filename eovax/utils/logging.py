@@ -1,0 +1,67 @@
+"""Metric logging: CSV (always) + optional W&B.
+
+Replaces the reference's CSVLogger+WandbLogger pair
+(/root/reference/train.py:139-149). W&B is optional and degrades to a
+no-op when the package or network is absent.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any
+
+
+class CSVLogger:
+    """Append-only metrics.csv with a growing union of columns."""
+
+    def __init__(self, log_dir: str, name: str = "metrics.csv"):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, name)
+        self._fields: list[str] = ["step", "wall_time"]
+        self._rows: list[dict[str, Any]] = []
+
+    def log(self, step: int, scalars: dict[str, float]) -> None:
+        row = {"step": step, "wall_time": time.time(), **scalars}
+        for k in row:
+            if k not in self._fields:
+                self._fields.append(k)
+        self._rows.append(row)
+        self._flush()
+
+    def _flush(self) -> None:
+        with open(self.path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self._fields)
+            writer.writeheader()
+            writer.writerows(self._rows)
+
+
+class WandbLogger:
+    """Thin W&B wrapper with resume='allow' (train.py:141-148)."""
+
+    def __init__(self, project: str, entity: str | None = None, name: str | None = None,
+                 config: dict | None = None, mode: str = "online"):
+        try:
+            import wandb
+
+            self._run = wandb.init(
+                project=project, entity=entity, name=name, config=config,
+                mode=mode, resume="allow",
+            )
+        except Exception as e:  # pragma: no cover — no network / package
+            print(f"[eovax] wandb unavailable ({type(e).__name__}); logging disabled")
+            self._run = None
+
+    def log(self, step: int, scalars: dict[str, float]) -> None:
+        if self._run is not None:
+            self._run.log(scalars, step=step)
+
+
+class MultiLogger:
+    def __init__(self, *loggers):
+        self.loggers = [lg for lg in loggers if lg is not None]
+
+    def log(self, step: int, scalars: dict[str, float]) -> None:
+        for lg in self.loggers:
+            lg.log(step, scalars)
