@@ -1,0 +1,161 @@
+"""Diffusion machinery for latent super-resolution (azula replacement).
+
+The reference trains stage 3 against the external ``azula`` library,
+referenced only through config ``_target_`` strings
+(configs_superres/eo_vae_latent.yaml:32-48: SimpleDenoiser + UNet +
+RectifiedSchedule + DDIMSampler(steps=50); pixel baseline:
+KarrasDenoiser + VPSchedule — configs_superres/pixel.yaml:33-48). SURVEY.md
+§7 hard-part #7 calls for rebuilding these from their configs; everything
+here is an original JAX implementation of those standard algorithms.
+
+Conventions: continuous time t ∈ [0, 1]; a schedule defines
+x_t = alpha(t)·x + sigma(t)·eps; denoisers predict E[x | x_t]; the DDIM
+sampler runs the deterministic probability-flow update as a `lax.scan`
+(compiler-friendly, one compiled program for all 50 steps).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Noise schedules
+# ---------------------------------------------------------------------------
+
+
+class RectifiedSchedule:
+    """Rectified flow / linear interpolation: alpha = 1 − t, sigma = t."""
+
+    def alpha(self, t: jax.Array) -> jax.Array:
+        return 1.0 - t
+
+    def sigma(self, t: jax.Array) -> jax.Array:
+        return jnp.asarray(t)
+
+
+class VPSchedule:
+    """Variance-preserving: alpha = cos(π t / 2), sigma = sin(π t / 2)
+    (alpha² + sigma² = 1)."""
+
+    def alpha(self, t: jax.Array) -> jax.Array:
+        return jnp.cos(0.5 * jnp.pi * t)
+
+    def sigma(self, t: jax.Array) -> jax.Array:
+        return jnp.sin(0.5 * jnp.pi * t)
+
+
+# ---------------------------------------------------------------------------
+# Denoisers
+# ---------------------------------------------------------------------------
+
+
+def _bshape(v: jax.Array, x: jax.Array) -> jax.Array:
+    """Broadcast a per-sample scalar over image dims."""
+    return v.reshape(v.shape[0], *([1] * (x.ndim - 1)))
+
+
+@dataclasses.dataclass(frozen=True)
+class SimpleDenoiser:
+    """x0-prediction denoiser: backbone(x_t, t, cond) → E[x | x_t].
+
+    ``loss(params, rng, x, t, cond)`` = MSE(x0_hat, x) with x_t sampled
+    from the schedule — the training objective for the latent-SR stage.
+    """
+
+    apply_fn: Callable[..., jax.Array]  # (params, x_t, t, cond) -> x0_hat
+    schedule: Any = dataclasses.field(default_factory=RectifiedSchedule)
+
+    def denoise(self, params, x_t, t, cond=None):
+        return self.apply_fn(params, x_t, t, cond)
+
+    def loss(self, params, rng, x, t, cond=None):
+        eps = jax.random.normal(rng, x.shape, jnp.float32)
+        a = _bshape(self.schedule.alpha(t), x)
+        s = _bshape(self.schedule.sigma(t), x)
+        x_t = a * x + s * eps
+        x0_hat = self.denoise(params, x_t, t, cond)
+        return jnp.mean((x0_hat.astype(jnp.float32) - x.astype(jnp.float32)) ** 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class KarrasDenoiser:
+    """EDM-preconditioned denoiser (Karras et al. 2022) for the pixel-space
+    baseline: x0_hat = c_skip·x_t + c_out·backbone(c_in·x_t, t, cond),
+    loss weighted by 1/c_out²."""
+
+    apply_fn: Callable[..., jax.Array]
+    schedule: Any = dataclasses.field(default_factory=VPSchedule)
+    sigma_data: float = 1.0
+
+    def _coeffs(self, t):
+        a = self.schedule.alpha(t)
+        s = self.schedule.sigma(t)
+        # Work in the EDM sigma domain: sig = s / a (guard a→0).
+        sig = s / jnp.maximum(a, 1e-4)
+        sd2 = self.sigma_data**2
+        c_skip = sd2 / (sig**2 + sd2)
+        c_out = sig * self.sigma_data / jnp.sqrt(sig**2 + sd2)
+        c_in = 1.0 / jnp.sqrt(sig**2 + sd2)
+        return c_skip, c_out, c_in
+
+    def denoise(self, params, x_t, t, cond=None):
+        a = _bshape(self.schedule.alpha(t), x_t)
+        x_hat = x_t / jnp.maximum(a, 1e-4)  # rescale to x + sig·eps domain
+        c_skip, c_out, c_in = (_bshape(c, x_t) for c in self._coeffs(t))
+        f = self.apply_fn(params, (c_in * x_hat).astype(x_t.dtype), t, cond)
+        return c_skip * x_hat + c_out * f.astype(jnp.float32)
+
+    def loss(self, params, rng, x, t, cond=None):
+        eps = jax.random.normal(rng, x.shape, jnp.float32)
+        a = _bshape(self.schedule.alpha(t), x)
+        s = _bshape(self.schedule.sigma(t), x)
+        x_t = a * x + s * eps
+        x0_hat = self.denoise(params, x_t, t, cond)
+        _, c_out, _ = (_bshape(c, x) for c in self._coeffs(t))
+        w = 1.0 / jnp.maximum(c_out**2, 1e-8)
+        return jnp.mean(w * (x0_hat - x.astype(jnp.float32)) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Samplers
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMSampler:
+    """Deterministic DDIM over the denoiser's schedule, as one lax.scan.
+
+    Update (x0-parameterization):
+        x_s = alpha_s · x0_hat + (sigma_s / sigma_t) · (x_t − alpha_t · x0_hat)
+    over a uniform time grid 1 = t_0 > … > t_N = 0.
+    """
+
+    denoiser: Any
+    steps: int = 50
+
+    def init(self, rng, shape) -> jax.Array:
+        """x_1 ~ N(0, sigma(1)²) — pure noise under both schedules."""
+        s1 = self.denoiser.schedule.sigma(jnp.asarray(1.0, jnp.float32))
+        return jax.random.normal(rng, shape, jnp.float32) * s1
+
+    def __call__(self, params, x1: jax.Array, cond=None) -> jax.Array:
+        sched = self.denoiser.schedule
+        ts = jnp.linspace(1.0, 0.0, self.steps + 1)
+
+        def body(x_t, i):
+            t = jnp.full((x_t.shape[0],), ts[i], jnp.float32)
+            s = jnp.full((x_t.shape[0],), ts[i + 1], jnp.float32)
+            x0_hat = self.denoiser.denoise(params, x_t, t, cond).astype(jnp.float32)
+            a_t = _bshape(sched.alpha(t), x_t)
+            a_s = _bshape(sched.alpha(s), x_t)
+            s_t = _bshape(jnp.maximum(sched.sigma(t), 1e-8), x_t)
+            s_s = _bshape(sched.sigma(s), x_t)
+            x_next = a_s * x0_hat + (s_s / s_t) * (x_t - a_t * x0_hat)
+            return x_next, None
+
+        x0, _ = jax.lax.scan(body, x1.astype(jnp.float32), jnp.arange(self.steps))
+        return x0

@@ -1,0 +1,162 @@
+"""Stage 3 — latent-diffusion super-resolution training.
+
+Re-design of DiffusionSuperRes (/root/reference/eo_vae/models/super_res.py:
+39-198) + the train_super_res.py driver: train a conditional denoiser on
+(lr_latent → hr_latent) pairs with t ~ U(0,1) per sample; validate by full
+DDIM sampling and MSE against the HR latent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterator
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from eovax.models.sr_diffusion import DDIMSampler
+from eovax.parallel.mesh import make_mesh, replicate, shard_batch
+from eovax.train.schedule import SR_STEPS_PER_EPOCH, cosine_warmup_schedule
+
+
+class SRTrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class DiffusionSuperRes:
+    """Host-side stage-3 trainer.
+
+    Args mirror super_res.py:42-75: a denoiser (SimpleDenoiser/
+    KarrasDenoiser over a UNet), a sampler factory (DDIM steps=50), and
+    the reference cosine-warmup hyperparameters (steps_per_epoch=152,
+    super_res.py:175).
+    """
+
+    denoiser: Any
+    init_params: Any
+    sampler_steps: int = 50
+    base_lr: float = 1e-4
+    final_lr: float | None = None
+    warmup_epochs: int | None = None
+    decay_end_epoch: int | None = None
+    grad_clip: float | None = 1.0  # trainer.gradient_clip_val (eo_vae_latent.yaml:20)
+    mesh: Any = None
+    log_every: int = 20
+    logger: Any = None
+    seed: int = 0
+
+    def __post_init__(self):
+        self.mesh = self.mesh or make_mesh()
+        if all(
+            v is not None
+            for v in (self.final_lr, self.warmup_epochs, self.decay_end_epoch)
+        ):
+            self.schedule = cosine_warmup_schedule(
+                self.base_lr,
+                self.final_lr,
+                self.warmup_epochs * SR_STEPS_PER_EPOCH,
+                self.decay_end_epoch * SR_STEPS_PER_EPOCH,
+            )
+        else:
+            self.schedule = self.base_lr
+        chain = []
+        if self.grad_clip:
+            chain.append(optax.clip_by_global_norm(self.grad_clip))
+        chain.append(optax.adam(self.schedule))
+        self.tx = optax.chain(*chain)
+        self.sampler = DDIMSampler(self.denoiser, steps=self.sampler_steps)
+        self._key = jax.random.PRNGKey(self.seed)
+
+        denoiser = self.denoiser
+        tx = self.tx
+
+        @jax.jit
+        def train_step(state, hr, lr_cond, rng):
+            t_key, n_key = jax.random.split(rng)
+            t = jax.random.uniform(t_key, (hr.shape[0],))
+
+            def loss_fn(params):
+                return denoiser.loss(params, n_key, hr, t, cond=lr_cond)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(step=state.step + 1, params=params, opt_state=opt_state),
+                {"train_loss": loss},
+            )
+
+        @jax.jit
+        def val_step(state, hr, lr_cond, rng):
+            x1 = self.sampler.init(rng, hr.shape)
+            x0 = self.sampler(state.params, x1, cond=lr_cond)
+            return jnp.mean((x0 - hr.astype(jnp.float32)) ** 2)
+
+        self._train_step = train_step
+        self._val_step = val_step
+
+    def init_state(self) -> SRTrainState:
+        params = jax.tree_util.tree_map(jnp.copy, self.init_params)
+        state = SRTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+        )
+        return replicate(state, self.mesh)
+
+    def fit(
+        self,
+        train_iter: Iterator[dict],
+        val_iter_factory: Callable[[], Iterator[dict]] | None = None,
+        max_steps: int = 1000,
+        val_every: int = 0,
+        state: SRTrainState | None = None,
+    ) -> SRTrainState:
+        state = state if state is not None else self.init_state()
+        t0 = time.time()
+        for i, batch in enumerate(train_iter):
+            if i >= max_steps:
+                break
+            self._key, k = jax.random.split(self._key)
+            sharded = shard_batch(
+                {"hr": batch["image_hr"], "lr": batch["image_lr"]}, self.mesh
+            )
+            state, logs = self._train_step(state, sharded["hr"], sharded["lr"], k)
+            if self.log_every and (i + 1) % self.log_every == 0:
+                scalars = {k2: float(v) for k2, v in logs.items()}
+                scalars["steps_per_sec"] = (i + 1) / max(time.time() - t0, 1e-9)
+                if self.logger is not None:
+                    self.logger.log(i + 1, scalars)
+            if val_every and val_iter_factory and (i + 1) % val_every == 0:
+                self.validate(state, val_iter_factory())
+        return state
+
+    def validate(
+        self, state: SRTrainState, val_iter: Iterator[dict], max_batches: int = 10
+    ) -> dict:
+        mses = []
+        for i, batch in enumerate(val_iter):
+            if i >= max_batches:
+                break
+            self._key, k = jax.random.split(self._key)
+            sharded = shard_batch(
+                {"hr": batch["image_hr"], "lr": batch["image_lr"]}, self.mesh
+            )
+            mses.append(float(self._val_step(state, sharded["hr"], sharded["lr"], k)))
+        result = {"val_mse": float(np.mean(mses))} if mses else {}
+        if self.logger is not None and result:
+            self.logger.log(int(state.step), result)
+        return result
+
+    def sample(self, state: SRTrainState, shape, cond, seed: int = 0) -> jax.Array:
+        """Full DDIM sampling (super_res.py:146-158)."""
+        rng = jax.random.PRNGKey(seed)
+        x1 = self.sampler.init(rng, shape)
+        return self.sampler(state.params, x1, cond=jnp.asarray(cond))
