@@ -109,6 +109,13 @@ def multiscale_ssim(
     normalize: str | None = "relu",
 ) -> jax.Array:
     """MS-SSIM over NHWC batches → scalar (elementwise-mean reduction)."""
+    min_side = (kernel_size - 1) * 2 ** (len(betas) - 1)
+    if pred.shape[1] <= min_side or pred.shape[2] <= min_side:
+        raise ValueError(
+            f"MS-SSIM with kernel {kernel_size} and {len(betas)} scales needs "
+            f"inputs > {min_side}px per side; got {pred.shape[1:3]} "
+            "(torchmetrics enforces the same bound)."
+        )
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
 

@@ -184,7 +184,10 @@ class Decoder(nn.Module):
         else:
             self.conv_out = nn.Conv(cfg.out_ch, (3, 3), padding=((1, 1), (1, 1)), **conv_kw)
 
-    def __call__(self, z: jax.Array, wvs: jax.Array | None = None) -> jax.Array:
+    def penultimate(self, z: jax.Array, wvs: jax.Array | None = None) -> jax.Array:
+        """Everything up to (and including) norm_out+swish — the activation
+        the output stem convolves. Exposed for adaptive GAN weighting
+        (recon = conv(penultimate, generated_kernel) + bias)."""
         cfg = self.cfg
         h = self.post_quant_conv(self.policy.cast_to_compute(z))
         h = self.conv_in(h)
@@ -206,8 +209,11 @@ class Decoder(nn.Module):
                 h = self._ups[i](h)
 
         h = self.norm_out(h)
-        h = swish(h)
-        if cfg.use_dynamic_ops:
+        return swish(h)
+
+    def __call__(self, z: jax.Array, wvs: jax.Array | None = None) -> jax.Array:
+        h = self.penultimate(z, wvs)
+        if self.cfg.use_dynamic_ops:
             assert wvs is not None, "wvs must be provided for a dynamic decoder"
             return self.conv_out(h, wvs)
         return self.conv_out(self.policy.cast_to_compute(h))
@@ -301,6 +307,47 @@ class EOVAECore(nn.Module):
 
         recon = self.decode(z, wvs)
         return recon, posterior
+
+    def forward_gan(
+        self,
+        x: jax.Array,
+        wvs: jax.Array,
+        *,
+        rng: jax.Array | None = None,
+        sample_posterior: bool = True,
+        scale: float | tuple[float, float] | None = None,
+        angle: int | None = None,
+        train: bool = False,
+        latent_noise_p: float = 0.0,
+        noise_tau: float = 0.8,
+    ):
+        """Like :meth:`forward`, but also exposes the decoder penultimate
+        activation and the generated output-stem (kernel, bias) so losses
+        can re-express the reconstruction as conv(h_pre, kernel)+bias for
+        adaptive GAN weighting. Dynamic decoder only."""
+        assert self.decoder_cfg.use_dynamic_ops
+        posterior = self.encode(x, wvs)
+        if sample_posterior:
+            rng, key = jax.random.split(rng)
+            z = posterior.sample(key)
+        else:
+            z = posterior.mode()
+        if scale is not None:
+            z = self._apply_scale(z, scale)
+        if angle is not None:
+            z = jnp.rot90(z, k=angle, axes=(2, 1))
+        z = patch_shuffle(z, self.ps)
+        z = self.normalize_latent(z, train=train)
+        if train and latent_noise_p > 0.0:
+            rng, k_gate, k_sigma, k_noise = jax.random.split(rng, 4)
+            gate = jax.random.uniform(k_gate) < latent_noise_p
+            sigma = noise_tau * jax.random.uniform(k_sigma, (z.shape[0], 1, 1, 1))
+            z = jnp.where(gate, z + sigma * jax.random.normal(k_noise, z.shape, z.dtype), z)
+        z_dec = patch_unshuffle(self.bn.inverse(z), self.ps)
+        h_pre = self.decoder.penultimate(z_dec, wvs)
+        kernel, bias = self.decoder.conv_out.generate(wvs)
+        recon = self.decoder.conv_out._conv(h_pre, kernel, bias)
+        return recon, posterior, h_pre, kernel, bias
 
     def encode_to_latent(self, x: jax.Array, wvs: jax.Array, *, train: bool = False) -> jax.Array:
         """Image → normalized packed latent [B, H/16, W/16, 4z]

@@ -98,6 +98,29 @@ def sincos_wavelength_embed(embed_dim: int, pos: jax.Array) -> jax.Array:
     return jnp.concatenate([s, c], axis=1)
 
 
+def apply_dynamic_kernel(
+    x: jax.Array,
+    kernel_hwio: jax.Array,
+    bias: jax.Array,
+    *,
+    stride: int = 1,
+    padding: int = 1,
+    policy: Policy = FULL_PRECISION,
+) -> jax.Array:
+    """Apply a generated HWIO kernel + bias as an NHWC conv (pure fn — used
+    both by the stem modules and by kernel-space loss closures)."""
+    y = jax.lax.conv_general_dilated(
+        policy.cast_to_compute(x),
+        policy.cast_to_compute(kernel_hwio),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=policy.precision,
+        preferred_element_type=policy.compute_dtype,
+    )
+    return y + bias.astype(y.dtype)
+
+
 class FCResLayer(nn.Module):
     """Fully-connected residual layer (dynamic_conv.py:336-366)."""
 
@@ -294,17 +317,10 @@ class _DynamicConvBase(nn.Module):
         return self.weight_generator(waves)
 
     def _conv(self, x: jax.Array, kernel_hwio: jax.Array, bias: jax.Array) -> jax.Array:
-        p = self.padding
-        y = jax.lax.conv_general_dilated(
-            self.policy.cast_to_compute(x),
-            self.policy.cast_to_compute(kernel_hwio),
-            window_strides=(self.stride, self.stride),
-            padding=[(p, p), (p, p)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=self.policy.precision,
-            preferred_element_type=self.policy.compute_dtype,
+        return apply_dynamic_kernel(
+            x, kernel_hwio, bias,
+            stride=self.stride, padding=self.padding, policy=self.policy,
         )
-        return y + bias.astype(y.dtype)
 
 
 class DynamicConv(_DynamicConvBase):

@@ -101,10 +101,8 @@ def make_train_step(
     cfg: VAEConfig,
     *,
     schedule=None,
-    gan_loss=None,
-    disc_tx=None,
 ):
-    """Build the jitted generator train step.
+    """Build the jitted generator train step (non-adversarial losses).
 
     Returned fn signature:
         step_fn(state, image_nhwc, wvs, rng, *, scale=None, angle=None)
@@ -132,34 +130,16 @@ def make_train_step(
                 method=EOVAECore.forward,
                 mutable=["batch_stats"],
             )
-            # EQ-VAE targets: area-downscale (+ rotate) the inputs to the
-            # recon geometry (new_autoencoder.py:605-627).
-            target = image
-            if scale is not None:
-                target = resize_nhwc(target, recon.shape[1:3], mode="area")
-            if angle is not None:
-                target = jnp.rot90(target, k=angle, axes=(2, 1))
-            target = jax.lax.stop_gradient(target)
-
+            target = _eqvae_target(image, recon, scale, angle)
             loss, logs = loss_obj(
                 target, wvs, recon, global_step=state.step, split="train"
             )
-            if gan_loss is not None:
-                g_loss, g_logs = gan_loss.generator_loss(
-                    core, params, state.disc_params, target, wvs, recon,
-                    global_step=state.step,
-                )
-                loss = loss + g_loss
-                logs.update(g_logs)
             return loss, (logs, mutated["batch_stats"])
 
         (loss, (logs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        if freeze_body:
-            grads = jax.tree_util.tree_map(
-                lambda g, m: g if m == "train" else jnp.zeros_like(g), grads, mask
-            )
+        grads = _mask_grads(grads, mask, freeze_body)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -177,6 +157,134 @@ def make_train_step(
     return train_step
 
 
+def _eqvae_target(image, recon, scale, angle):
+    """Area-downscale (+ rotate) inputs to the recon geometry
+    (new_autoencoder.py:605-627)."""
+    target = image
+    if scale is not None:
+        target = resize_nhwc(target, recon.shape[1:3], mode="area")
+    if angle is not None:
+        target = jnp.rot90(target, k=angle, axes=(2, 1))
+    return jax.lax.stop_gradient(target)
+
+
+def _mask_grads(grads, mask, freeze_body):
+    if not freeze_body:
+        return grads
+    return jax.tree_util.tree_map(
+        lambda g, m: g if m == "train" else jnp.zeros_like(g), grads, mask
+    )
+
+
+def make_adversarial_steps(
+    core: EOVAECore,
+    loss_obj,
+    tx,
+    disc_tx,
+    cfg: VAEConfig,
+    *,
+    schedule=None,
+    disc_module=None,
+):
+    """Generator/discriminator alternation (new_autoencoder.py:633-682).
+
+    The generator step runs `forward_gan` to expose the decoder penultimate
+    + generated output stem, enabling the adaptive weight's kernel-space
+    gradients; it returns the (stop-gradient) reconstruction for the
+    discriminator step. Discriminator updates its own Adam state; spectral
+    norm power-iteration stats update once per disc step.
+    """
+    from eovax.nn.dynamic_conv import apply_dynamic_kernel
+
+    freeze_body = cfg.freeze_body
+
+    def gen_step(state, image, wvs, rng, *, scale=None, angle=None):
+        mask = _freeze_mask(state.params, freeze_body)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (recon, posterior, h_pre, kernel, bias), mutated = core.apply(
+                variables,
+                image,
+                wvs,
+                rng=rng,
+                sample_posterior=True,
+                scale=scale,
+                angle=angle,
+                train=True,
+                latent_noise_p=cfg.latent_noise_p,
+                noise_tau=cfg.noise_tau,
+                method=EOVAECore.forward_gan,
+                mutable=["batch_stats"],
+            )
+            target = _eqvae_target(image, recon, scale, angle)
+            h_sg = jax.lax.stop_gradient(h_pre)
+            b_sg = jax.lax.stop_gradient(bias)
+
+            def recon_fn(k):
+                return apply_dynamic_kernel(h_sg, k, b_sg, policy=core.policy)
+
+            loss, logs = loss_obj.generator_loss(
+                state.disc_params,
+                target,
+                wvs,
+                recon,
+                global_step=state.step,
+                kernel_closure=(recon_fn, kernel),
+                split="train",
+            )
+            return loss, (logs, mutated["batch_stats"], recon, target)
+
+        (loss, (logs, new_bs, recon, target)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = _mask_grads(grads, mask, freeze_body)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        logs["train/grad_norm"] = optax.global_norm(grads)
+        if schedule is not None and callable(schedule):
+            logs["train/lr"] = schedule(state.step)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, logs, jax.lax.stop_gradient(recon), target
+
+    def disc_step(state, target, wvs, recon):
+        disc_vars = state.disc_params
+        # Spectral-norm power-iteration update, once per disc step (torch
+        # updates u on every train-mode forward).
+        if disc_module is not None and "spectral_stats" in disc_vars:
+            _, upd = disc_module.apply(
+                disc_vars, recon, wvs, update_sn=True, mutable=["spectral_stats"]
+            )
+            disc_vars = {**disc_vars, **upd}
+
+        def loss_fn(dparams):
+            dv = dict(disc_vars)
+            dv["params"] = dparams
+            return loss_obj.discriminator_loss(dv, target, wvs, recon, split="train")
+
+        (d_loss, logs), dgrads = jax.value_and_grad(loss_fn, has_aux=True)(
+            disc_vars["params"]
+        )
+        updates, new_opt = disc_tx.update(
+            dgrads, state.disc_opt_state, disc_vars["params"]
+        )
+        new_dparams = optax.apply_updates(disc_vars["params"], updates)
+        new_disc_vars = dict(disc_vars)
+        new_disc_vars["params"] = new_dparams
+        return (
+            state.replace(disc_params=new_disc_vars, disc_opt_state=new_opt),
+            logs,
+        )
+
+    return gen_step, disc_step
+
+
 def make_eval_step(core: EOVAECore, loss_obj):
     """Validation step (new_autoencoder.py:692-712): stochastic forward,
     loss in eval mode (no BN-stat updates)."""
@@ -187,7 +295,15 @@ def make_eval_step(core: EOVAECore, loss_obj):
             variables, image, wvs, rng=rng, sample_posterior=True,
             method=EOVAECore.forward,
         )
-        loss, logs = loss_obj(image, wvs, recon, global_step=state.step, split="val")
+        if hasattr(loss_obj, "generator_loss"):
+            loss, logs = loss_obj.generator_loss(
+                state.disc_params, image, wvs, recon,
+                global_step=state.step, split="val",
+            )
+        else:
+            loss, logs = loss_obj(
+                image, wvs, recon, global_step=state.step, split="val"
+            )
         return logs
 
     return eval_step
@@ -212,17 +328,28 @@ class Stage2Trainer:
     mesh: Any = None
     log_every: int = 100
     logger: Any = None
-    gan_loss: Any = None
+    discriminator: Any = None  # flax module; required for adversarial losses
     seed: int = 0
 
     def __post_init__(self):
         self.mesh = self.mesh or make_mesh()
         self.tx, self.schedule = make_optimizer(self.cfg, total_steps=self.max_steps)
         core = self.model.core
-        self._train_step = make_train_step(
-            core, self.loss_obj, self.tx, self.cfg,
-            schedule=self.schedule, gan_loss=self.gan_loss,
-        )
+        self.adversarial = hasattr(self.loss_obj, "generator_loss")
+        if self.adversarial:
+            if self.discriminator is None:
+                raise ValueError("adversarial loss requires a discriminator module")
+            # Same base lr for the disc optimizer (new_autoencoder.py:562-565).
+            self.disc_tx = optax.adam(self.cfg.base_lr)
+            self._gen_step, self._disc_step = make_adversarial_steps(
+                core, self.loss_obj, self.tx, self.disc_tx, self.cfg,
+                schedule=self.schedule, disc_module=self.discriminator,
+            )
+        else:
+            self.disc_tx = None
+            self._train_step = make_train_step(
+                core, self.loss_obj, self.tx, self.cfg, schedule=self.schedule
+            )
         self._eval_step = make_eval_step(core, self.loss_obj)
         self._jit_cache: dict[Any, Any] = {}
         self._rng = random.Random(self.seed)
@@ -238,26 +365,42 @@ class Stage2Trainer:
         batch_stats = jax.tree_util.tree_map(
             jnp.copy, variables.get("batch_stats", {})
         )
+        disc_params = None
+        disc_opt_state = None
+        if self.adversarial:
+            cfg_e = self.cfg.encoder
+            res = min(cfg_e.resolution, 64)
+            dummy = jnp.zeros((1, res, res, cfg_e.in_channels), jnp.float32)
+            dummy_wvs = jnp.linspace(0.4, 2.5, cfg_e.in_channels)
+            disc_params = self.discriminator.init(
+                jax.random.PRNGKey(self.seed + 1), dummy, dummy_wvs
+            )
+            disc_opt_state = self.disc_tx.init(disc_params["params"])
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
+            disc_params=disc_params,
+            disc_opt_state=disc_opt_state,
         )
         return replicate(state, self.mesh)
 
     # -- jit dispatch ----------------------------------------------------------
 
-    def _jitted(self, kind: str, scale, angle):
+    def _jitted(self, kind: str, scale=None, angle=None):
         key = (kind, scale, angle)
         fn = self._jit_cache.get(key)
         if fn is None:
             if kind == "train":
+                step = self._gen_step if self.adversarial else self._train_step
+
                 def fn_raw(state, image, wvs, rng):
-                    return self._train_step(
-                        state, image, wvs, rng, scale=scale, angle=angle
-                    )
+                    return step(state, image, wvs, rng, scale=scale, angle=angle)
+
                 fn = jax.jit(fn_raw, donate_argnums=(0,))
+            elif kind == "disc":
+                fn = jax.jit(self._disc_step, donate_argnums=(0,))
             else:
                 fn = jax.jit(self._eval_step)
             self._jit_cache[key] = fn
@@ -296,7 +439,21 @@ class Stage2Trainer:
                 {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
             )
             fn = self._jitted("train", scale, angle)
-            state, logs = fn(state, sharded["image"], sharded["wvs"], step_key)
+            if self.adversarial:
+                state, logs, recon, target = fn(
+                    state, sharded["image"], sharded["wvs"], step_key
+                )
+                # Discriminator alternation gate (new_autoencoder.py:658-663).
+                disc_start = getattr(self.loss_obj, "disc_start",
+                                     getattr(self.loss_obj, "disc_update_start_step", 0))
+                disc_weight = getattr(self.loss_obj, "disc_weight", 0.0)
+                if i >= disc_start and disc_weight > 0.0:
+                    state, d_logs = self._jitted("disc")(
+                        state, target, sharded["wvs"], recon
+                    )
+                    logs = {**logs, **d_logs}
+            else:
+                state, logs = fn(state, sharded["image"], sharded["wvs"], step_key)
 
             if self.log_every and (i + 1) % self.log_every == 0:
                 self._log(i + 1, logs, t0)
