@@ -1,0 +1,126 @@
+"""Bulk latent encoding CLI (reference: encode_latents.py).
+
+Encodes the Sen2NAIP LR/HR pairs into .npz latents + latent_stats.json for
+stage-3 training. This is the throughput-critical inference path
+(SURVEY.md §3.3): batches stream from host threads, encoding runs jitted
+on device, running statistics accumulate host-side (Welford).
+
+Usage:
+    python -m eovax.cli.encode_latents --config model_config.yaml \
+        --ckpt eo-vae.ckpt --data-root sen2naip/cross-sensor \
+        --save-dir out/ [--use-spatial-norm] [--batch-size 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+from typing import Iterator
+
+import numpy as np
+
+from eovax.cli.common import enable_compile_cache
+
+
+def encode_split(
+    model,
+    batches: Iterator[dict],
+    output_dir: str,
+    *,
+    wvs: np.ndarray,
+    stats_lr,
+    stats_hr,
+    use_spatial_norm: bool,
+    split_name: str = "",
+) -> int:
+    """Encode one split: device encode → stats update → npz per AOI
+    (encode_latents.py:305-352). Latents stored CHW (reference schema)."""
+    os.makedirs(output_dir, exist_ok=True)
+    count = 0
+    for batch in batches:
+        # Batches arrive NHWC from the collates; the public API is NCHW.
+        lr = np.transpose(np.asarray(batch["image_lr"]), (0, 3, 1, 2))
+        hr = np.transpose(np.asarray(batch["image_hr"]), (0, 3, 1, 2))
+        if use_spatial_norm:
+            z_lr = np.asarray(model.encode_spatial_normalized(lr, wvs))
+            z_hr = np.asarray(model.encode_spatial_normalized(hr, wvs))
+        else:  # encoder-mean only (encode_latents.py:138-157)
+            z_lr = np.asarray(model.encode(lr, wvs).mode())
+            z_hr = np.asarray(model.encode(hr, wvs).mode())
+        stats_lr(np.transpose(z_lr, (0, 2, 3, 1)))
+        stats_hr(np.transpose(z_hr, (0, 2, 3, 1)))
+        for i, aoi in enumerate(batch["aoi"]):
+            np.savez_compressed(
+                os.path.join(output_dir, f"{aoi}.npz"),
+                lr_latent=z_lr[i],
+                hr_latent=z_hr[i],
+                lr_image=lr[i],
+                hr_image=hr[i],
+            )
+            count += 1
+    return count
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Bulk-encode Sen2NAIP latents")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--data-root", required=True)
+    parser.add_argument("--save-dir", required=True)
+    parser.add_argument("--use-spatial-norm", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    args = parser.parse_args(argv)
+
+    enable_compile_cache()
+
+    from eovax.core.precision import DEFAULT_POLICY
+    from eovax.data.sen2naip import (
+        SEN2NAIP_WVS,
+        Sen2NaipCrossSensor,
+        sen2naip_collate,
+    )
+    from eovax.models.eo_flux_vae import EOFluxVAE
+    from eovax.utils.stats import RunningStats
+
+    model = EOFluxVAE.from_config(args.config, args.ckpt, policy=DEFAULT_POLICY)
+    z = model.config.encoder.z_channels
+    stats_lr = RunningStats((z,), (0, 1, 2))
+    stats_hr = RunningStats((z,), (0, 1, 2))
+
+    def batches_for(split):
+        ds = Sen2NaipCrossSensor(args.data_root, split)
+        for i in range(0, len(ds), args.batch_size):
+            samples = [ds[j] for j in range(i, min(i + args.batch_size, len(ds)))]
+            yield sen2naip_collate(samples)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    total = 0
+    for split in args.splits:
+        n = encode_split(
+            model,
+            batches_for(split),
+            os.path.join(args.save_dir, split),
+            wvs=SEN2NAIP_WVS,
+            stats_lr=stats_lr,
+            stats_hr=stats_hr,
+            use_spatial_norm=args.use_spatial_norm,
+            split_name=split,
+        )
+        print(f"Encoded {n} AOIs for split {split}")
+        total += n
+
+    stats_path = os.path.join(args.save_dir, "latent_stats.json")
+    with open(stats_path, "w") as f:
+        json.dump(
+            {"lr_latent": stats_lr.to_dict(), "hr_latent": stats_hr.to_dict()},
+            f, indent=4,
+        )
+    shutil.copy(args.config, os.path.join(args.save_dir, "model_config.yaml"))
+    print(f"Encoded {total} AOIs; wrote {stats_path}")
+
+
+if __name__ == "__main__":
+    main()

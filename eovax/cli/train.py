@@ -1,0 +1,150 @@
+"""Stage-2 training CLI (reference: /root/reference/train.py).
+
+Usage:
+    python -m eovax.cli.train --config configs/eo-vae.yaml \
+        [--distilled-ckpt distilled_final.pt] [--flux-ckpt ae.safetensors] \
+        [--max-steps N] [--debug] [--synthetic-data]
+
+Flow (train.py:65-174 parity): build encoder/decoder from config, load the
+stage-1 distilled stems and/or Flux body, instantiate the consistency loss
+and the TerraMesh pipeline, run the Stage-2 trainer with CSV (+ optional
+W&B) logging and orbax checkpoints. `--debug` disables logging/ckpts;
+`--synthetic-data` replaces TerraMesh with random batches (smoke runs on
+hosts without the shards).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from eovax.cli.common import create_experiment_dir, enable_compile_cache, snapshot_config
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="EO-VAE stage-2 training")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--distilled-ckpt", default=None)
+    parser.add_argument("--flux-ckpt", default=None)
+    parser.add_argument("--ckpt", default=None, help="full checkpoint to resume from")
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--synthetic-data", action="store_true")
+    parser.add_argument("--precision", default="bf16-mixed")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    enable_compile_cache()
+
+    from eovax.core.config import load_yaml, VAEConfig
+    from eovax.core.precision import policy_from_name
+    from eovax.losses import EOConsistencyLoss
+    from eovax.models.eo_flux_vae import EOFluxVAE
+    from eovax.parallel.mesh import init_distributed
+    from eovax.train.stage2 import Stage2Trainer
+    from eovax.train.schedule import STAGE2_STEPS_PER_EPOCH
+    from eovax.utils.logging import CSVLogger
+
+    init_distributed()
+    raw_cfg = load_yaml(args.config)
+    cfg = VAEConfig.from_dict(raw_cfg)
+
+    model = EOFluxVAE(cfg, policy=policy_from_name(args.precision), seed=args.seed)
+    # Component-wise loading (train.py:75-98): Flux body, then distilled stems.
+    if args.flux_ckpt:
+        model.load_checkpoint(args.flux_ckpt, strict=False)
+    if args.distilled_ckpt:
+        model.load_checkpoint(args.distilled_ckpt)
+    if args.ckpt:
+        model.load_checkpoint(args.ckpt)
+
+    loss_cfg = raw_cfg.get("model", {}).get("loss_fn", {})
+    loss_obj = EOConsistencyLoss.from_dict(loss_cfg) if loss_cfg else EOConsistencyLoss()
+
+    trainer_cfg = raw_cfg.get("trainer", {})
+    max_epochs = trainer_cfg.get("max_epochs", 100)
+    limit_train = trainer_cfg.get("limit_train_batches", STAGE2_STEPS_PER_EPOCH)
+    max_steps = args.max_steps or max_epochs * limit_train
+
+    exp_dir = None
+    logger = None
+    if not args.debug:
+        exp = raw_cfg.get("experiment", {})
+        exp_dir = create_experiment_dir(
+            exp.get("exp_dir", "results/exps"), exp.get("experiment_name", "eo-vae")
+        )
+        snapshot_config(args.config, exp_dir)
+        logger = CSVLogger(exp_dir)
+        wandb_cfg = raw_cfg.get("wandb")
+        if wandb_cfg and wandb_cfg.get("mode", "online") != "disabled":
+            from eovax.utils.logging import MultiLogger, WandbLogger
+
+            logger = MultiLogger(
+                logger,
+                WandbLogger(
+                    project=wandb_cfg.get("project", "eovax"),
+                    entity=wandb_cfg.get("entity"),
+                    config=raw_cfg,
+                    mode=wandb_cfg.get("mode", "online"),
+                ),
+            )
+
+    if args.synthetic_data:
+        from eovax.data.synthetic import synthetic_terramesh_batches
+
+        dm_cfg = raw_cfg.get("datamodule", {})
+        mods = tuple(dm_cfg.get("modalities", ["S2L2A", "S1RTC", "S2RGB"]))
+        mods = tuple(m for m in mods if m != "S1GRD")
+        size = tuple(dm_cfg.get("target_size", (256, 256)))
+        train_iter = synthetic_terramesh_batches(
+            batch_size=dm_cfg.get("batch_size", 16), target_size=size,
+            modalities=mods, seed=args.seed,
+        )
+        val_factory = lambda: synthetic_terramesh_batches(  # noqa: E731
+            batch_size=dm_cfg.get("eval_batch_size", 32), target_size=size,
+            modalities=("S2L2A",), mode="S2L2A", seed=args.seed + 1, num_batches=10,
+        )
+    else:
+        from eovax.data.terramesh import TerraMeshPipeline
+        import jax
+
+        dm_cfg = raw_cfg.get("datamodule", {})
+        pipeline = TerraMeshPipeline(
+            data_path=dm_cfg["data_path"],
+            modalities=dm_cfg.get("modalities", ["S2L2A", "S1RTC", "S2RGB"]),
+            batch_size=dm_cfg.get("batch_size", 16),
+            eval_batch_size=dm_cfg.get("eval_batch_size", 32),
+            train_collate_mode=dm_cfg.get("train_collate_mode", "random"),
+            val_collate_mode=dm_cfg.get("val_collate_mode", "S2L2A"),
+            normalize=dm_cfg.get("normalize", True),
+            norm_scheme=dm_cfg.get("norm_scheme", "legacy"),
+            target_size=tuple(dm_cfg.get("target_size", (256, 256))),
+            seed=args.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        train_iter = pipeline.train_batches()
+        val_factory = pipeline.val_batches
+
+    trainer = Stage2Trainer(
+        model=model,
+        loss_obj=loss_obj,
+        cfg=cfg,
+        max_steps=max_steps,
+        val_every=limit_train,
+        ckpt_dir=os.path.join(exp_dir, "checkpoints") if exp_dir else None,
+        ckpt_every=limit_train if exp_dir else 0,
+        log_every=trainer_cfg.get("log_every_n_steps", 100),
+        logger=logger,
+        seed=args.seed,
+    )
+    state = trainer.fit(train_iter, val_factory)
+
+    if exp_dir:
+        model.variables = trainer.export_variables(state)
+        model.save(os.path.join(exp_dir, "eo-vae-final.msgpack"))
+        print(f"Saved final model to {exp_dir}/eo-vae-final.msgpack")
+
+
+if __name__ == "__main__":
+    main()

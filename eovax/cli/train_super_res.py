@@ -1,0 +1,137 @@
+"""Stage-3 latent-SR training CLI (reference: train_super_res.py).
+
+Usage:
+    python -m eovax.cli.train_super_res --config configs_superres/eo_vae_latent.yaml \
+        [--debug] [--max-steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from eovax.cli.common import create_experiment_dir, enable_compile_cache, snapshot_config
+
+
+def build_denoiser_from_config(cfg: dict, *, policy=None, seed: int = 0):
+    """Instantiate UNet + schedule + denoiser from a reference-format
+    config block (configs_superres/eo_vae_latent.yaml:32-48)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eovax.core.precision import DEFAULT_POLICY
+    from eovax.models.sr_diffusion import (
+        KarrasDenoiser,
+        RectifiedSchedule,
+        SimpleDenoiser,
+        VPSchedule,
+    )
+    from eovax.models.unet import UNet
+
+    policy = policy or DEFAULT_POLICY
+    den_cfg = cfg["denoiser"]
+    bb = den_cfg["backbone"]
+    unet = UNet(
+        in_channels=bb.get("in_channels", 32),
+        out_channels=bb.get("out_channels", 32),
+        cond_channels=bb.get("cond_channels", 0),
+        hid_channels=tuple(bb.get("hid_channels", (256, 128, 64))),
+        hid_blocks=tuple(bb.get("hid_blocks", (3, 3, 3))),
+        policy=policy,
+    )
+
+    sched_target = den_cfg.get("schedule", {}).get("_target_", "RectifiedSchedule")
+    schedule = VPSchedule() if "VPSchedule" in sched_target else RectifiedSchedule()
+
+    latent = bb.get("in_channels", 32)
+    x = jnp.zeros((1, 16, 16, latent))
+    cond = jnp.zeros((1, 16, 16, bb.get("cond_channels", 0))) if bb.get("cond_channels") else None
+    t = jnp.zeros((1,))
+    params = unet.init(jax.random.PRNGKey(seed), x, t, cond)["params"]
+
+    def apply_fn(params, x_t, t, cond=None):
+        return unet.apply({"params": params}, x_t, t, cond)
+
+    den_target = den_cfg.get("_target_", "SimpleDenoiser")
+    cls = KarrasDenoiser if "Karras" in den_target else SimpleDenoiser
+    return cls(apply_fn=apply_fn, schedule=schedule), params
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="EO-VAE stage-3 latent SR training")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    enable_compile_cache()
+
+    from eovax.core.config import load_yaml
+    from eovax.data.sen2naip import Sen2NaipCrossSensorLatent
+    from eovax.train.schedule import SR_STEPS_PER_EPOCH
+    from eovax.train.sr import DiffusionSuperRes
+    from eovax.utils.logging import CSVLogger
+
+    raw = load_yaml(args.config)
+    lm = raw["lightning_module"]
+    denoiser, params = build_denoiser_from_config(lm, seed=args.seed)
+
+    trainer_cfg = raw.get("trainer", {})
+    max_epochs = trainer_cfg.get("max_epochs", 750)
+    max_steps = args.max_steps or max_epochs * SR_STEPS_PER_EPOCH
+
+    exp_dir = logger = None
+    if not args.debug:
+        exp = raw.get("experiment", {})
+        exp_dir = create_experiment_dir(
+            exp.get("exp_dir", "results/exps/sr"), exp.get("experiment_name", "eo-vae-sr")
+        )
+        snapshot_config(args.config, exp_dir)
+        logger = CSVLogger(exp_dir)
+
+    dm_cfg = raw["datamodule"]
+    train_ds = Sen2NaipCrossSensorLatent(
+        dm_cfg["root"], "train",
+        latent_scale_factor=dm_cfg.get("latent_scale_factor", 1.0),
+        normalize=dm_cfg.get("normalize", True),
+    )
+    val_ds = Sen2NaipCrossSensorLatent(
+        dm_cfg["root"], "val",
+        latent_scale_factor=dm_cfg.get("latent_scale_factor", 1.0),
+        normalize=dm_cfg.get("normalize", True),
+    )
+    bs = dm_cfg.get("batch_size", 16)
+
+    trainer = DiffusionSuperRes(
+        denoiser=denoiser,
+        init_params=params,
+        sampler_steps=raw["lightning_module"].get("sampler", {}).get("steps", 50),
+        base_lr=lm.get("base_lr", 1e-4),
+        final_lr=lm.get("final_lr"),
+        warmup_epochs=lm.get("warmup_epochs"),
+        decay_end_epoch=lm.get("decay_end_epoch"),
+        grad_clip=trainer_cfg.get("gradient_clip_val", 1.0),
+        log_every=trainer_cfg.get("log_every_n_steps", 20),
+        logger=logger,
+        seed=args.seed,
+    )
+    state = trainer.fit(
+        train_ds.batches(bs, shuffle=True, seed=args.seed, repeat=True),
+        lambda: val_ds.batches(bs),
+        max_steps=max_steps,
+        val_every=trainer_cfg.get("val_every", SR_STEPS_PER_EPOCH),
+    )
+    if exp_dir:
+        from eovax.utils.checkpoint import save_variables
+        import jax
+
+        save_variables(
+            os.path.join(exp_dir, "sr-final.msgpack"),
+            {"params": jax.device_get(state.params)},
+        )
+        print(f"Saved SR model to {exp_dir}/sr-final.msgpack")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,9 @@ from typing import Any
 import yaml
 
 _INTERP_RE = re.compile(r"\$\{([^{}]+)\}")
+# PyYAML 1.1 parses '1e-4' (no dot) as a string; OmegaConf — which the
+# reference configs were written for — parses it as float. Coerce.
+_SCI_FLOAT_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+")
 
 #: Hydra class paths that may appear as ``_target_`` for each section.
 KNOWN_TARGETS = {
@@ -57,6 +60,8 @@ def resolve_interpolations(cfg: Any, root: dict | None = None) -> Any:
         root = cfg
 
     def resolve_value(v: Any) -> Any:
+        if isinstance(v, str) and _SCI_FLOAT_RE.fullmatch(v.strip()):
+            return float(v)
         if isinstance(v, str):
             # Iterate: inner ${…} tokens resolve first, enabling nesting
             # like ${eval:${a} * 2}.

@@ -1,0 +1,233 @@
+"""CLI smoke tests + sen2naip/stats/metrics unit tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_running_stats_matches_numpy():
+    from eovax.utils.stats import RunningStats
+
+    g = np.random.default_rng(0)
+    data = g.normal(3.0, 2.5, (40, 8, 8, 5)).astype(np.float32)
+    rs = RunningStats((5,), (0, 1, 2))
+    for i in range(0, 40, 7):
+        rs.update(data[i : i + 7])
+    flat = data.reshape(-1, 5)
+    np.testing.assert_allclose(rs.mean, flat.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(rs.std, flat.std(0), rtol=1e-2)
+    np.testing.assert_allclose(rs.min, flat.min(0), rtol=1e-6)
+    np.testing.assert_allclose(rs.max, flat.max(0), rtol=1e-6)
+
+
+def test_reference_latent_stats_regression_values():
+    """The vendored LATENT_STATS must match BASELINE.md's regression
+    targets (mean[0]=-1.7888, std[0]=1.8264 for 'eo-vae')."""
+    from eovax.data.sen2naip import reference_latent_stats
+
+    stats = reference_latent_stats("eo-vae")
+    assert stats["mean"].shape == (32,)
+    np.testing.assert_allclose(stats["mean"][0], -1.7888, atol=1e-4)
+    np.testing.assert_allclose(stats["std"][0], 1.8264, atol=1e-4)
+
+
+def test_spatial_split_deterministic():
+    from eovax.data.sen2naip import assign_spatial_split
+
+    g = np.random.default_rng(1)
+    lons = g.uniform(-120, -80, 500)
+    lats = g.uniform(30, 45, 500)
+    labels = assign_spatial_split(lons, lats)
+    labels2 = assign_spatial_split(lons, lats)
+    np.testing.assert_array_equal(labels, labels2)
+    fracs = {s: float(np.mean(labels == s)) for s in ("train", "val", "test")}
+    assert 0.6 < fracs["train"] < 0.95
+    assert fracs["val"] > 0 and fracs["test"] > 0
+
+
+@pytest.fixture()
+def latent_root(tmp_path):
+    g = np.random.default_rng(2)
+    root = tmp_path / "latents"
+    stats = {
+        "lr_latent": {"mean": g.normal(size=8).tolist(), "std": (g.uniform(0.5, 2, 8)).tolist()},
+        "hr_latent": {"mean": g.normal(size=8).tolist(), "std": (g.uniform(0.5, 2, 8)).tolist()},
+    }
+    (root / "train").mkdir(parents=True)
+    (root / "latent_stats.json").write_text(json.dumps(stats))
+    for i in range(5):
+        np.savez_compressed(
+            root / "train" / f"aoi{i}.npz",
+            lr_latent=g.normal(size=(8, 16, 16)).astype(np.float32),
+            hr_latent=g.normal(size=(8, 16, 16)).astype(np.float32),
+            lr_image=g.normal(size=(4, 128, 128)).astype(np.float32),
+            hr_image=g.normal(size=(4, 128, 128)).astype(np.float32),
+        )
+    return str(root)
+
+
+def test_sen2naip_latent_dataset(latent_root):
+    from eovax.data.sen2naip import Sen2NaipCrossSensorLatent
+
+    ds = Sen2NaipCrossSensorLatent(latent_root, "train", latent_scale_factor=2.0)
+    assert len(ds) == 5
+    s = ds[0]
+    assert s["image_hr"].shape == (16, 16, 8)
+    assert s["image_lr"].shape == (16, 16, 8)
+    # Both normalized with HR stats then ×2 scale.
+    raw = np.load(os.path.join(latent_root, "train", sorted(os.listdir(latent_root + "/train"))[0]))
+    expected = (
+        (np.transpose(raw["lr_latent"], (1, 2, 0)) - ds.hr_mean) / ds.hr_std * 2.0
+    )
+    np.testing.assert_allclose(s["image_lr"], expected, rtol=1e-5)
+
+    batches = list(ds.batches(2, shuffle=True, seed=0))
+    assert batches[0]["image_hr"].shape == (2, 16, 16, 8)
+
+
+def test_sen2naip_collates():
+    from eovax.data.sen2naip import sen2naip_collate, sen2naip_domain_adapted_collate
+
+    g = np.random.default_rng(3)
+    samples = [
+        {
+            "image_lr": g.uniform(0, 4000, (32, 32, 4)).astype(np.float32),
+            "image_hr": g.uniform(0, 255, (128, 128, 4)).astype(np.float32),
+            "aoi": f"a{i}",
+        }
+        for i in range(2)
+    ]
+    out = sen2naip_collate(samples)
+    assert out["image_lr"].shape == (2, 128, 128, 4)  # bicubic-upsampled to HR
+    assert out["image_hr"].shape == (2, 128, 128, 4)
+
+    out2 = sen2naip_domain_adapted_collate(samples)
+    assert out2["image_lr"].shape == (2, 128, 128, 4)
+    # DA targets roughly loc -0.4 / scale 0.6 for z-scored NAIP.
+    assert abs(float(out2["image_hr"].mean())) < 5.0
+
+
+def test_metrics_sanity():
+    import jax.numpy as jnp
+
+    from eovax.utils.metrics import mae, psnr, rmse, spectral_angle, ssim
+
+    g = np.random.default_rng(4)
+    a = jnp.asarray(g.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    assert float(psnr(a, a)) > 80
+    assert float(rmse(a, a)) == 0
+    assert float(mae(a, a)) == 0
+    assert float(spectral_angle(a, a)) < 1e-3
+    assert float(ssim(a, a, data_range=1.0)) > 0.999
+    b = a + 0.1
+    assert float(psnr(a, b)) == pytest.approx(20.0, abs=0.5)
+
+
+def test_weight_distill_cli(tmp_path):
+    """End-to-end stage-1 CLI with a synthetic safetensors teacher."""
+    import safetensors.numpy
+
+    from eovax.cli.weight_distill import main as distill_main
+
+    config = tmp_path / "model_config.yaml"
+    config.write_text(
+        """
+model:
+  encoder: {z_channels: 8, resolution: 32, in_channels: 3, ch: 32,
+            ch_mult: [1, 2], num_res_blocks: 1, use_dynamic_ops: True,
+            dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}}
+  decoder: {z_channels: 8, resolution: 32, out_ch: 3, ch: 32,
+            ch_mult: [1, 2], num_res_blocks: 1, use_dynamic_ops: True,
+            dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}}
+"""
+    )
+    g = np.random.default_rng(5)
+    teacher_path = str(tmp_path / "ae.safetensors")
+    safetensors.numpy.save_file(
+        {
+            "encoder.conv_in.weight": g.normal(0, 0.1, (32, 3, 3, 3)).astype(np.float32),
+            "encoder.conv_in.bias": g.normal(0, 0.05, (32,)).astype(np.float32),
+            "decoder.conv_out.weight": g.normal(0, 0.1, (3, 32, 3, 3)).astype(np.float32),
+            "decoder.conv_out.bias": g.normal(0, 0.05, (3,)).astype(np.float32),
+        },
+        teacher_path,
+    )
+    out = str(tmp_path / "distilled.msgpack")
+    distill_main([
+        "--config", str(config), "--teacher", teacher_path,
+        "--output", out, "--max-steps", "50",
+    ])
+    assert os.path.exists(out)
+
+
+def test_train_cli_synthetic(tmp_path):
+    from eovax.cli.train import main as train_main
+
+    config = tmp_path / "train.yaml"
+    config.write_text(
+        """
+model:
+  base_lr: 1e-3
+  clip_grad: 1.0
+  loss_fn: {_target_: eo_vae.models.modules.consistency_loss.EOConsistencyLoss,
+            rec_loss_type: char, pixel_weight: 1.0}
+  encoder: {z_channels: 8, resolution: 32, in_channels: 3, ch: 32,
+            ch_mult: [1, 2], num_res_blocks: 1, use_dynamic_ops: True,
+            dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}}
+  decoder: {z_channels: 8, resolution: 32, out_ch: 3, ch: 32,
+            ch_mult: [1, 2], num_res_blocks: 1, use_dynamic_ops: True,
+            dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}}
+datamodule: {batch_size: 4, eval_batch_size: 4, target_size: [32, 32],
+             modalities: [S2RGB, S1RTC]}
+trainer: {max_epochs: 1, limit_train_batches: 3, log_every_n_steps: 0}
+"""
+    )
+    train_main([
+        "--config", str(config), "--debug", "--synthetic-data",
+        "--max-steps", "3", "--precision", "32-true",
+    ])
+
+
+def test_encode_latents_core(tmp_path):
+    """encode_split with synthetic batches produces the reference npz +
+    stats schema."""
+    from eovax import EOFluxVAE
+    from eovax.cli.encode_latents import encode_split
+    from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig
+    from eovax.data.sen2naip import SEN2NAIP_WVS
+    from eovax.utils.stats import RunningStats
+
+    stem = StemConfig(num_layers=1, wv_planes=64)
+    cfg = VAEConfig(
+        encoder=EncoderConfig(resolution=32, in_channels=4, ch=32, ch_mult=(1, 2),
+                              num_res_blocks=1, z_channels=8, use_dynamic_ops=True,
+                              stem=stem),
+        decoder=DecoderConfig(resolution=32, out_ch=4, ch=32, ch_mult=(1, 2),
+                              num_res_blocks=1, z_channels=8, use_dynamic_ops=True,
+                              stem=stem),
+    )
+    model = EOFluxVAE(cfg, seed=0)
+    g = np.random.default_rng(6)
+    batches = [
+        {
+            "image_lr": g.normal(size=(2, 32, 32, 4)).astype(np.float32),
+            "image_hr": g.normal(size=(2, 32, 32, 4)).astype(np.float32),
+            "aoi": [f"a{i}", f"b{i}"],
+        }
+        for i in range(2)
+    ]
+    stats_lr = RunningStats((8,), (0, 1, 2))
+    stats_hr = RunningStats((8,), (0, 1, 2))
+    n = encode_split(
+        model, iter(batches), str(tmp_path / "train"), wvs=SEN2NAIP_WVS,
+        stats_lr=stats_lr, stats_hr=stats_hr, use_spatial_norm=True,
+    )
+    assert n == 4
+    files = sorted(os.listdir(tmp_path / "train"))
+    assert len(files) == 4
+    with np.load(tmp_path / "train" / files[0]) as d:
+        assert d["lr_latent"].shape == (8, 16, 16)  # CHW reference schema
+        assert d["hr_image"].shape == (4, 32, 32)
+    assert stats_hr.count > 0
