@@ -322,10 +322,11 @@ class EOVAECore(nn.Module):
         noise_tau: float = 0.8,
     ):
         """Like :meth:`forward`, but also exposes the decoder penultimate
-        activation and the generated output-stem (kernel, bias) so losses
-        can re-express the reconstruction as conv(h_pre, kernel)+bias for
-        adaptive GAN weighting. Dynamic decoder only."""
-        assert self.decoder_cfg.use_dynamic_ops
+        activation and the output-stem (kernel, bias) so losses can
+        re-express the reconstruction as conv(h_pre, kernel)+bias for
+        adaptive GAN weighting. With a static decoder the stem params are
+        read from the variables by the caller (kernel/bias returned None).
+        """
         posterior = self.encode(x, wvs)
         if sample_posterior:
             rng, key = jax.random.split(rng)
@@ -345,8 +346,12 @@ class EOVAECore(nn.Module):
             z = jnp.where(gate, z + sigma * jax.random.normal(k_noise, z.shape, z.dtype), z)
         z_dec = patch_unshuffle(self.bn.inverse(z), self.ps)
         h_pre = self.decoder.penultimate(z_dec, wvs)
-        kernel, bias = self.decoder.conv_out.generate(wvs)
-        recon = self.decoder.conv_out._conv(h_pre, kernel, bias)
+        if self.decoder_cfg.use_dynamic_ops:
+            kernel, bias = self.decoder.conv_out.generate(wvs)
+            recon = self.decoder.conv_out._conv(h_pre, kernel, bias)
+        else:
+            kernel = bias = None
+            recon = self.decoder.conv_out(self.policy.cast_to_compute(h_pre))
         return recon, posterior, h_pre, kernel, bias
 
     def encode_to_latent(self, x: jax.Array, wvs: jax.Array, *, train: bool = False) -> jax.Array:

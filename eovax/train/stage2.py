@@ -219,6 +219,12 @@ def make_adversarial_steps(
             )
             target = _eqvae_target(image, recon, scale, angle)
             h_sg = jax.lax.stop_gradient(h_pre)
+            if kernel is None:
+                # Static decoder (legacy AutoencoderKL): the output stem is a
+                # plain conv param (adaptive weight w.r.t. conv_out.weight,
+                # autoencoder.py semantics).
+                kernel = params["decoder"]["conv_out"]["kernel"]
+                bias = params["decoder"]["conv_out"]["bias"]
             b_sg = jax.lax.stop_gradient(bias)
 
             def recon_fn(k):

@@ -95,6 +95,12 @@ _PATH_REWRITES = [
     (re.compile(r"transformer_encoder\.layers\.(\d+)\."), r"transformer_encoder.layers_\1."),
     (re.compile(r"fc_weight\.(\d+)\."), r"fc_weight_\1."),
     (re.compile(r"^conditioner\.mlp\.(\d+)\."), r"conditioner.mlp_\1."),
+    # DOFA ViT (eovax/models/dofa.py)
+    (re.compile(r"(^|\.)blocks\.(\d+)\."), r"\1blocks_\2."),
+    (re.compile(r"\.attn\.qkv\."), r".attn_qkv."),
+    (re.compile(r"\.attn\.proj\."), r".attn_proj."),
+    (re.compile(r"\.mlp\.fc1\."), r".mlp_fc1."),
+    (re.compile(r"\.mlp\.fc2\."), r".mlp_fc2."),
 ]
 
 
