@@ -1,0 +1,123 @@
+"""Pallas TPU flash attention (single-head, unmasked).
+
+The VAE's only attention is the mid-block single-head SDPA over the
+flattened H·W tokens (reference layers.py:128-142). At the shipped 256²
+resolution that is 1024 tokens — plain attention is fine — but at
+high-resolution inference the token count grows as (res/8)²: a 1024² tile
+gives 16384 tokens and a [B, 16k, 16k] fp32 logits tensor (≥1 GB per
+sample), which plain attention materializes in HBM. This kernel runs the
+classic online-softmax streaming formulation in VMEM: O(S·D) memory,
+one pass over K/V per query block.
+
+Layout: q/k/v [B, S, D] (single head; vmap/reshape multi-head into B).
+Block sizes are multiples of the TPU tile (128 lanes); fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, nk):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)  # [BK, D]
+    v = v_ref[0].astype(jnp.float32)  # [BK, D]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, BK]
+
+    m_prev = m_scr[:]  # [BQ, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # [BQ, BK]
+    alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
+
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q kᵀ / √D) v for [B, S, D] single-head tensors."""
+    b, s, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    assert s % block_q == 0 and s % block_k == 0, (
+        f"seq len {s} must divide blocks ({block_q}, {block_k})"
+    )
+    nq, nk = s // block_q, s // block_k
+    scale = 1.0 / (d**0.5)
+
+    grid = (b, nq, nk)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ib, iq, ik: (ib, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda ib, iq, ik: (ib, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out
+
+
+def sdpa_auto(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    flash_threshold: int = 4096,
+    precision=None,
+):
+    """Dispatch: plain attention for short sequences (XLA fuses it well at
+    ≤1k tokens), flash kernel for long ones (high-res inference)."""
+    b, s, d = q.shape
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if s >= flash_threshold and s % 512 == 0 and on_tpu:
+        return flash_attention(q, k, v)
+    scale = 1.0 / (d**0.5)
+    logits = jnp.einsum(
+        "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32,
+        precision=precision,
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bqk,bkc->bqc", probs, v, precision=precision)

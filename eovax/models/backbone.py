@@ -124,9 +124,9 @@ class Encoder(nn.Module):
         h = self.mid_attn_1(h)
         h = self.mid_block_2(h, emb)
 
-        h = self.norm_out(h)
+        h = self.norm_out(h).astype(self.policy.compute_dtype)
         h = swish(h)
-        h = self.conv_out(self.policy.cast_to_compute(h))
+        h = self.conv_out(h)
         h = self.quant_conv(h)
         return h
 
@@ -208,7 +208,7 @@ class Decoder(nn.Module):
             if i != 0:
                 h = self._ups[i](h)
 
-        h = self.norm_out(h)
+        h = self.norm_out(h).astype(self.policy.compute_dtype)
         return swish(h)
 
     def __call__(self, z: jax.Array, wvs: jax.Array | None = None) -> jax.Array:

@@ -45,8 +45,12 @@ def _conv(features: int, kernel: int, stride: int, padding, policy: Policy, name
 
 
 def _group_norm(policy: Policy, name: str):
-    # fp32 statistics regardless of compute dtype.
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=policy.norm_dtype, name=name)
+    """GroupNorm with fp32 statistics, output cast back to the compute
+    dtype — keeps the big spatial activations in bf16 between ops (the
+    fp32 island is internal to the normalization, matching the reference's
+    AMP behavior)."""
+    norm = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=policy.norm_dtype, name=name)
+    return lambda x: norm(x).astype(policy.compute_dtype)
 
 
 def sincos_embed_microns(embed_dim: int, wvs: jax.Array) -> jax.Array:
@@ -92,15 +96,83 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest ×2 upsample + 3×3 conv."""
+    """Nearest ×2 upsample + 3×3 conv, computed sub-pixel.
+
+    TPU optimization: nearest-×2 followed by a 3×3 conv is algebraically a
+    2×2 conv per output phase on the LOW-res input — each output pixel's
+    3×3 window covers at most 2×2 distinct input pixels, with kernel taps
+    summed per phase. One conv with the four phase kernels stacked on the
+    output axis + an interleave replaces the 3×3 conv on the 4× upsampled
+    tensor: 2.25× fewer conv FLOPs and no 4× intermediate in HBM. Matches
+    nearest+conv up to fp reassociation of the tap sums; parameters stay in
+    the reference 3×3 layout (checkpoint-compatible).
+    """
 
     in_channels: int
     policy: Policy = FULL_PRECISION
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return _conv(self.in_channels, 3, 1, ((1, 1), (1, 1)), self.policy, "conv")(x)
+        conv = _conv(self.in_channels, 3, 1, ((1, 1), (1, 1)), self.policy, "conv")
+        if self.is_initializing():
+            # Declare the 3×3 parameters via the reference path once.
+            up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            return conv(up)
+        params = self.get_variable("params", "conv")
+        return subpixel_upsample_conv(x, params["kernel"], params["bias"], self.policy)
+
+
+def subpixel_upsample_conv(
+    x: jax.Array, w3: jax.Array, bias: jax.Array, policy: Policy
+) -> jax.Array:
+    """conv3x3(nearest_up2(x)) as one phase-stacked 2×2 conv + interleave.
+
+    Output pixel (2i+py, 2j+px) sees input rows {i−1+py, i+py} and cols
+    {j−1+px, j+px}; the 3×3 taps collapse per phase to 2×2 kernels:
+    rows phase 0 → (w0 | w1+w2), phase 1 → (w0+w1 | w2), same along width.
+    """
+    b_, h, w, _ = x.shape
+    co = w3.shape[-1]
+    w3f = w3.astype(jnp.float32)
+    row = [
+        jnp.stack([w3f[0], w3f[1] + w3f[2]], axis=0),  # py=0: [2, 3, I, O]
+        jnp.stack([w3f[0] + w3f[1], w3f[2]], axis=0),  # py=1
+    ]
+    phases = []
+    for py in (0, 1):
+        kk = row[py]
+        for px in (0, 1):
+            if px == 0:
+                k2 = jnp.stack([kk[:, 0], kk[:, 1] + kk[:, 2]], axis=1)
+            else:
+                k2 = jnp.stack([kk[:, 0] + kk[:, 1], kk[:, 2]], axis=1)
+            phases.append(k2)  # [2, 2, I, O]
+    w2 = jnp.concatenate(phases, axis=-1)  # [2, 2, I, 4O]
+
+    # Window starts −1..H−1 after (1,1) padding; phase 0 reads starts
+    # i−1 (slice [0:H]), phase 1 reads starts i (slice [1:H+1]).
+    y = jax.lax.conv_general_dilated(
+        policy.cast_to_compute(x),
+        policy.cast_to_compute(w2),
+        window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=policy.precision,
+        preferred_element_type=policy.compute_dtype,
+    )  # [B, H+1, W+1, 4O]
+
+    def phase(py: int, px: int, idx: int) -> jax.Array:
+        return y[:, py : h + py, px : w + px, idx * co : (idx + 1) * co]
+
+    stacked = jnp.stack(
+        [
+            jnp.stack([phase(0, 0, 0), phase(0, 1, 1)], axis=3),  # [B,H,W,2(px),O]
+            jnp.stack([phase(1, 0, 2), phase(1, 1, 3)], axis=3),
+        ],
+        axis=2,
+    )  # [B, H, 2(py), W, 2(px), O]
+    out = stacked.reshape(b_, 2 * h, 2 * w, co)
+    return out + bias.astype(out.dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -169,14 +241,9 @@ class AttnBlock(nn.Module):
         k = k.reshape(b, h * w, c)
         v = v.reshape(b, h * w, c)
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
-        logits = jnp.einsum(
-            "bqc,bkc->bqk", q, k,
-            precision=self.policy.precision,
-            preferred_element_type=self.policy.norm_dtype,
-        ) * scale
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", probs, v, precision=self.policy.precision)
+        from eovax.kernels.attention import sdpa_auto
+
+        out = sdpa_auto(q, k, v, precision=self.policy.precision)
         out = out.reshape(b, h, w, c)
         out = _conv(c, 1, 1, "VALID", self.policy, "proj_out")(out)
         return x.astype(out.dtype) + out
