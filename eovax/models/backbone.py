@@ -48,6 +48,7 @@ class Encoder(nn.Module):
 
     cfg: EncoderConfig
     policy: Policy = FULL_PRECISION
+    remat: bool = False  # rematerialize ResnetBlocks (trade FLOPs for HBM)
 
     @property
     def use_adain(self) -> bool:
@@ -57,6 +58,7 @@ class Encoder(nn.Module):
         cfg = self.cfg
         p = self.policy
         num_res = len(cfg.ch_mult)
+        Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
 
         if cfg.use_dynamic_ops:
             self.conv_in = DynamicConv(
@@ -78,7 +80,7 @@ class Encoder(nn.Module):
             block_in = cfg.ch * in_mult[i]
             block_out = cfg.ch * cfg.ch_mult[i]
             for j in range(cfg.num_res_blocks):
-                blocks[(i, j)] = ResnetBlock(
+                blocks[(i, j)] = Block(
                     in_channels=block_in, out_channels=block_out,
                     cond_dim=cond_dim, policy=p, name=f"down_{i}_block_{j}",
                 )
@@ -136,6 +138,7 @@ class Decoder(nn.Module):
 
     cfg: DecoderConfig
     policy: Policy = FULL_PRECISION
+    remat: bool = False
 
     @property
     def use_adain(self) -> bool:
@@ -145,6 +148,7 @@ class Decoder(nn.Module):
         cfg = self.cfg
         p = self.policy
         num_res = len(cfg.ch_mult)
+        Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         conv_kw = dict(dtype=p.compute_dtype, param_dtype=p.param_dtype, precision=p.precision)
 
         self.post_quant_conv = nn.Conv(cfg.z_channels, (1, 1), **conv_kw)
@@ -165,7 +169,7 @@ class Decoder(nn.Module):
         for i in reversed(range(num_res)):
             block_out = cfg.ch * cfg.ch_mult[i]
             for j in range(cfg.num_res_blocks + 1):
-                blocks[(i, j)] = ResnetBlock(
+                blocks[(i, j)] = Block(
                     in_channels=block_in, out_channels=block_out,
                     cond_dim=cond_dim, policy=p, name=f"up_{i}_block_{j}",
                 )
@@ -238,10 +242,11 @@ class EOVAECore(nn.Module):
     decoder_cfg: DecoderConfig
     policy: Policy = FULL_PRECISION
     ps: tuple[int, int] = (2, 2)
+    remat: bool = False  # rematerialize res blocks under grad (HBM saver)
 
     def setup(self):
-        self.encoder = Encoder(self.encoder_cfg, self.policy)
-        self.decoder = Decoder(self.decoder_cfg, self.policy)
+        self.encoder = Encoder(self.encoder_cfg, self.policy, remat=self.remat)
+        self.decoder = Decoder(self.decoder_cfg, self.policy, remat=self.remat)
         self.bn = LatentBatchNorm(
             num_features=self.ps[0] * self.ps[1] * self.encoder_cfg.z_channels
         )

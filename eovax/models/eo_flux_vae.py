@@ -47,11 +47,13 @@ class EOFluxVAE:
         *,
         policy: Policy = FULL_PRECISION,
         seed: int = 0,
+        remat: bool = False,
     ) -> None:
         self.config = config
         self.policy = policy
         self.core = EOVAECore(
-            encoder_cfg=config.encoder, decoder_cfg=config.decoder, policy=policy
+            encoder_cfg=config.encoder, decoder_cfg=config.decoder, policy=policy,
+            remat=remat,
         )
         if variables is None:
             variables = self._init_variables(seed)

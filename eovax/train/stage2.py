@@ -72,9 +72,13 @@ def _freeze_mask(params, freeze_body: bool):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
-def make_optimizer(cfg: VAEConfig, total_steps: int | None = None):
+def make_optimizer(
+    cfg: VAEConfig, total_steps: int | None = None, accumulate_steps: int = 1
+):
     """Adam + cosine warmup + global-norm clip, mirroring
-    configure_optimizers (new_autoencoder.py:549-585)."""
+    configure_optimizers (new_autoencoder.py:549-585). ``accumulate_steps``
+    wraps in optax.MultiSteps (the reference's commented-out
+    accumulate_grad_batches, configs/eo-vae.yaml:86)."""
     if all(
         v is not None for v in (cfg.final_lr, cfg.warmup_epochs, cfg.decay_end_epoch)
     ):
@@ -91,6 +95,8 @@ def make_optimizer(cfg: VAEConfig, total_steps: int | None = None):
         chain.append(optax.clip_by_global_norm(cfg.clip_grad))
     chain.append(optax.adam(schedule))
     tx = optax.chain(*chain)
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx, schedule
 
 
@@ -335,11 +341,15 @@ class Stage2Trainer:
     log_every: int = 100
     logger: Any = None
     discriminator: Any = None  # flax module; required for adversarial losses
+    accumulate_steps: int = 1
     seed: int = 0
 
     def __post_init__(self):
         self.mesh = self.mesh or make_mesh()
-        self.tx, self.schedule = make_optimizer(self.cfg, total_steps=self.max_steps)
+        self.tx, self.schedule = make_optimizer(
+            self.cfg, total_steps=self.max_steps,
+            accumulate_steps=self.accumulate_steps,
+        )
         core = self.model.core
         self.adversarial = hasattr(self.loss_obj, "generator_loss")
         if self.adversarial:

@@ -167,3 +167,21 @@ def test_multidevice_mesh_step():
     # Params remain replicated (single logical value).
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_remat_and_grad_accumulation():
+    """remat'd blocks + optax.MultiSteps accumulation produce a working step."""
+    cfg = tiny_cfg()
+    model = EOFluxVAE(cfg, seed=6, remat=True)
+    loss = EOConsistencyLoss(pixel_weight=1.0)
+    trainer = Stage2Trainer(
+        model=model, loss_obj=loss, cfg=cfg, max_steps=4, log_every=0,
+        accumulate_steps=2, seed=6,
+    )
+    state = trainer.fit(
+        synthetic_terramesh_batches(
+            batch_size=4, target_size=(32, 32), modalities=("S2RGB",),
+            seed=6, num_batches=4,
+        )
+    )
+    assert int(state.step) == 4
