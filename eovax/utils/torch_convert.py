@@ -86,15 +86,15 @@ def load_torch_file(path: str) -> dict[str, np.ndarray] | dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 _PATH_REWRITES = [
-    (re.compile(r"^down\.(\d+)\.block\.(\d+)\."), r"down_\1_block_\2."),
-    (re.compile(r"^down\.(\d+)\.downsample\."), r"down_\1_downsample."),
-    (re.compile(r"^up\.(\d+)\.block\.(\d+)\."), r"up_\1_block_\2."),
-    (re.compile(r"^up\.(\d+)\.upsample\."), r"up_\1_upsample."),
-    (re.compile(r"^mid\.block_(\d)\."), r"mid_block_\1."),
-    (re.compile(r"^mid\.attn_(\d)\."), r"mid_attn_\1."),
+    (re.compile(r"(^|\.)down\.(\d+)\.block\.(\d+)\."), r"\1down_\2_block_\3."),
+    (re.compile(r"(^|\.)down\.(\d+)\.downsample\."), r"\1down_\2_downsample."),
+    (re.compile(r"(^|\.)up\.(\d+)\.block\.(\d+)\."), r"\1up_\2_block_\3."),
+    (re.compile(r"(^|\.)up\.(\d+)\.upsample\."), r"\1up_\2_upsample."),
+    (re.compile(r"(^|\.)mid\.block_(\d)\."), r"\1mid_block_\2."),
+    (re.compile(r"(^|\.)mid\.attn_(\d)\."), r"\1mid_attn_\2."),
     (re.compile(r"transformer_encoder\.layers\.(\d+)\."), r"transformer_encoder.layers_\1."),
     (re.compile(r"fc_weight\.(\d+)\."), r"fc_weight_\1."),
-    (re.compile(r"^conditioner\.mlp\.(\d+)\."), r"conditioner.mlp_\1."),
+    (re.compile(r"(^|\.)conditioner\.mlp\.(\d+)\."), r"\1conditioner.mlp_\2."),
     # DOFA ViT (eovax/models/dofa.py)
     (re.compile(r"(^|\.)blocks\.(\d+)\."), r"\1blocks_\2."),
     (re.compile(r"\.attn\.qkv\."), r".attn_qkv."),
