@@ -231,3 +231,31 @@ def test_encode_latents_core(tmp_path):
         assert d["lr_latent"].shape == (8, 16, 16)  # CHW reference schema
         assert d["hr_image"].shape == (4, 32, 32)
     assert stats_hr.count > 0
+
+
+def test_streaming_histogram_and_quantile():
+    from eovax.utils.histogram import StreamingHistogram
+
+    g = np.random.default_rng(8)
+    hist = StreamingHistogram(3, min_val=-10, max_val=10, bins=200)
+    data = g.normal(0, 2, (5, 16, 16, 3)).astype(np.float32)
+    hist.update(data)
+    assert hist.hist_counts.sum() > 0
+    med = hist.quantile(0.5)
+    assert np.all(np.abs(med) < 1.0)  # roughly centered
+
+
+def test_inspect_terramesh_cli(tmp_path):
+    from eovax.cli.inspect_terramesh import inspect_shard
+    from tests._zarr_helpers import write_terramesh_shard
+
+    g = np.random.default_rng(9)
+    shard = str(tmp_path / "s.tar")
+    write_terramesh_shard(
+        shard,
+        [{"bands": g.normal(size=(1, 3, 8, 8)).astype("<f4"), "time": 0}],
+    )
+    reports = inspect_shard(shard, max_samples=2)
+    assert len(reports) == 1
+    info = reports[0]["zarr.zip"]["arrays"]["bands"]
+    assert info["shape"] == [1, 3, 8, 8]
