@@ -1,0 +1,124 @@
+"""End-to-end pipeline test: stage 1 → 2 → 3 chained on synthetic data.
+
+distill stems → finetune the VAE → bulk-encode latents (+ stats.json) →
+train the latent-SR diffusion model → evaluate SR metrics. Exercises every
+stage boundary contract (checkpoint formats, latent schema, stats files).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from eovax import EOFluxVAE
+from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig
+
+STEM = StemConfig(num_layers=1, wv_planes=64)
+CFG = VAEConfig(
+    encoder=EncoderConfig(resolution=32, in_channels=4, ch=32, ch_mult=(1, 2),
+                          num_res_blocks=1, z_channels=8, use_dynamic_ops=True,
+                          stem=STEM),
+    decoder=DecoderConfig(resolution=32, out_ch=4, ch=32, ch_mult=(1, 2),
+                          num_res_blocks=1, z_channels=8, use_dynamic_ops=True,
+                          stem=STEM),
+    base_lr=1e-3,
+)
+
+
+def test_three_stage_pipeline(tmp_path):
+    from eovax.cli.encode_latents import encode_split
+    from eovax.data.sen2naip import SEN2NAIP_WVS, Sen2NaipCrossSensorLatent
+    from eovax.losses import EOConsistencyLoss
+    from eovax.train.distill import DistillConfig, run_distillation
+    from eovax.train.stage2 import Stage2Trainer
+    from eovax.utils.stats import RunningStats
+
+    g = np.random.default_rng(0)
+
+    # ---- Stage 1: distill stems against a synthetic teacher ----------------
+    # RGB teacher stems (distillation queries at the 3 RGB wavelengths —
+    # the dynamic stems themselves are channel-agnostic).
+    teacher = {
+        "encoder_weight": g.normal(0, 0.1, (32, 3, 3, 3)).astype(np.float32),
+        "encoder_bias": g.normal(0, 0.05, (32,)).astype(np.float32),
+        "decoder_weight": g.normal(0, 0.1, (3, 32, 3, 3)).astype(np.float32),
+        "decoder_bias": g.normal(0, 0.05, (3,)).astype(np.float32),
+    }
+    model = EOFluxVAE(CFG, seed=0)
+    model.variables, logs = run_distillation(
+        model.core, model.variables, teacher,
+        DistillConfig(max_steps=40, lr=3e-3),
+    )
+    assert np.isfinite(logs["total_loss"])
+
+    # ---- Stage 2: a few finetune steps --------------------------------------
+    trainer = Stage2Trainer(
+        model=model, loss_obj=EOConsistencyLoss(pixel_weight=1.0),
+        cfg=CFG, max_steps=3, log_every=0, seed=0,
+    )
+
+    def batches(n, bs=4):
+        for i in range(n):
+            yield {
+                "image": g.standard_normal((bs, 32, 32, 4)).astype(np.float32),
+                "wvs": SEN2NAIP_WVS,
+            }
+
+    state = trainer.fit(batches(3))
+    model.variables = trainer.export_variables(state)
+    model._jit_cache.clear()
+
+    # ---- Stage 3a: bulk-encode latent pairs ---------------------------------
+    latent_root = tmp_path / "latents"
+    stats_lr = RunningStats((8,), (0, 1, 2))
+    stats_hr = RunningStats((8,), (0, 1, 2))
+    for split, n in (("train", 3), ("val", 1)):
+        enc_batches = [
+            {
+                "image_lr": g.standard_normal((2, 32, 32, 4)).astype(np.float32),
+                "image_hr": g.standard_normal((2, 32, 32, 4)).astype(np.float32),
+                "aoi": [f"{split}{i}a", f"{split}{i}b"],
+            }
+            for i in range(n)
+        ]
+        encode_split(
+            model, iter(enc_batches), str(latent_root / split),
+            wvs=SEN2NAIP_WVS, stats_lr=stats_lr, stats_hr=stats_hr,
+            use_spatial_norm=True,
+        )
+    (latent_root / "latent_stats.json").write_text(
+        json.dumps({"lr_latent": stats_lr.to_dict(), "hr_latent": stats_hr.to_dict()})
+    )
+
+    # ---- Stage 3b: train the latent-SR diffusion model ----------------------
+    from eovax.cli.train_super_res import build_denoiser_from_config
+    from eovax.core.precision import FULL_PRECISION
+    from eovax.train.sr import DiffusionSuperRes
+
+    train_ds = Sen2NaipCrossSensorLatent(str(latent_root), "train")
+    denoiser, params = build_denoiser_from_config(
+        {"denoiser": {"backbone": {
+            "in_channels": 8, "out_channels": 8, "cond_channels": 8,
+            "hid_channels": [16, 16], "hid_blocks": [1, 1],
+        }}},
+        policy=FULL_PRECISION,
+    )
+    sr_trainer = DiffusionSuperRes(
+        denoiser=denoiser, init_params=params, sampler_steps=4,
+        base_lr=1e-3, log_every=0,
+    )
+    sr_state = sr_trainer.fit(
+        train_ds.batches(2, shuffle=True, repeat=True), max_steps=3
+    )
+    assert int(sr_state.step) == 3
+
+    # ---- Stage 3c: SR evaluation -------------------------------------------
+    from eovax.cli.eval_metric_super_res import evaluate_sr
+
+    val_ds = Sen2NaipCrossSensorLatent(str(latent_root), "val")
+    metrics = evaluate_sr(
+        model, sr_trainer, sr_state, val_ds, batch_size=2, num_batches=1,
+    )
+    assert set(metrics) == {"rmse", "psnr", "ssim", "sam"}
+    assert all(np.isfinite(v) for v in metrics.values())
