@@ -72,6 +72,11 @@ class SimpleDenoiser:
     def denoise(self, params, x_t, t, cond=None):
         return self.apply_fn(params, x_t, t, cond)
 
+    def postprocess(self, params, raw, x_t, t):
+        """Raw backbone output → x0_hat (identity for x0-prediction);
+        hook used by samplers that evaluate the backbone directly."""
+        return raw.astype(jnp.float32)
+
     def loss(self, params, rng, x, t, cond=None):
         eps = jax.random.normal(rng, x.shape, jnp.float32)
         a = _bshape(self.schedule.alpha(t), x)
@@ -158,4 +163,82 @@ class DDIMSampler:
             return x_next, None
 
         x0, _ = jax.lax.scan(body, x1.astype(jnp.float32), jnp.arange(self.steps))
+        return x0
+
+
+@dataclasses.dataclass(frozen=True)
+class CachedDDIMSampler:
+    """DDIM with UNet encoder-feature caching across timesteps.
+
+    Implements "encoder propagation" (Li et al., Faster Diffusion,
+    arXiv:2312.09608): the UNet's downsampling-path features change slowly
+    across adjacent timesteps, so non-key steps reuse the previous key
+    step's (bottleneck, skip) features and only run the decoder path with a
+    fresh time embedding — cutting ~the encoder's share of FLOPs on
+    (1 − 1/cache_every) of the steps. An approximation: outputs drift
+    slightly from the exact sampler (opt-in; default sampler stays exact).
+
+    Requires an eovax UNet (exposes encode_path/decode_path); runs as one
+    `lax.scan` with the feature cache in the carry.
+    """
+
+    denoiser: Any
+    unet: Any  # eovax.models.unet.UNet module
+    steps: int = 50
+    cache_every: int = 2
+
+    def init(self, rng, shape) -> jax.Array:
+        s1 = self.denoiser.schedule.sigma(jnp.asarray(1.0, jnp.float32))
+        return jax.random.normal(rng, shape, jnp.float32) * s1
+
+    def __call__(self, params, x1: jax.Array, cond=None) -> jax.Array:
+        sched = self.denoiser.schedule
+        ts = jnp.linspace(1.0, 0.0, self.steps + 1)
+        unet = self.unet
+
+        def full_eval(x_t, t):
+            h, skips = unet.apply(
+                {"params": params}, x_t, t, cond, method=unet.encode_path
+            )
+            out = unet.apply(
+                {"params": params}, h, skips, t, method=unet.decode_path
+            )
+            return out, (h, skips)
+
+        def cached_eval(cache, t):
+            h, skips = cache
+            return unet.apply(
+                {"params": params}, h, skips, t, method=unet.decode_path
+            )
+
+        # Prime the cache with step 0 (always a key step).
+        t0 = jnp.full((x1.shape[0],), ts[0], jnp.float32)
+        _, cache0 = full_eval(x1.astype(jnp.float32), t0)
+
+        def body(carry, i):
+            x_t, cache = carry
+            t = jnp.full((x_t.shape[0],), ts[i], jnp.float32)
+            s = jnp.full((x_t.shape[0],), ts[i + 1], jnp.float32)
+
+            def key_step(_):
+                out, new_cache = full_eval(x_t, t)
+                return out, new_cache
+
+            def cached_step(_):
+                return cached_eval(cache, t), cache
+
+            is_key = (i % self.cache_every) == 0
+            raw, cache_new = jax.lax.cond(is_key, key_step, cached_step, None)
+            x0_hat = self.denoiser.postprocess(params, raw, x_t, t)
+
+            a_t = _bshape(sched.alpha(t), x_t)
+            a_s = _bshape(sched.alpha(s), x_t)
+            s_t = _bshape(jnp.maximum(sched.sigma(t), 1e-8), x_t)
+            s_s = _bshape(sched.sigma(s), x_t)
+            x_next = a_s * x0_hat + (s_s / s_t) * (x_t - a_t * x0_hat)
+            return (x_next, cache_new), None
+
+        (x0, _), _ = jax.lax.scan(
+            body, (x1.astype(jnp.float32), cache0), jnp.arange(self.steps)
+        )
         return x0

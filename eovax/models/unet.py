@@ -99,7 +99,14 @@ class _SelfAttention(nn.Module):
 
 
 class UNet(nn.Module):
-    """Conditional UNet: (x_t [B,H,W,Cin], t [B], cond [B,H,W,Ccond]) → [B,H,W,Cout]."""
+    """Conditional UNet: (x_t [B,H,W,Cin], t [B], cond [B,H,W,Ccond]) → [B,H,W,Cout].
+
+    The forward is split into ``encode_path`` (conv_in + down blocks +
+    bottleneck) and ``decode_path`` (up blocks + head) so samplers can
+    cache the encoder features across adjacent timesteps ("encoder
+    propagation", Li et al., arXiv:2312.09608 — see
+    eovax.models.sr_diffusion.CachedDDIMSampler).
+    """
 
     in_channels: int = 32
     out_channels: int = 32
@@ -109,65 +116,110 @@ class UNet(nn.Module):
     attention_at_bottom: bool = True
     policy: Policy = FULL_PRECISION
 
-    @nn.compact
-    def __call__(
-        self, x: jax.Array, t: jax.Array, cond: jax.Array | None = None
-    ) -> jax.Array:
+    def setup(self):
         p = self.policy
-        temb_dim = self.hid_channels[0] * 4
-        temb = timestep_embedding(t, self.hid_channels[0])
-        temb = nn.Dense(temb_dim, dtype=jnp.float32, name="temb_0")(temb)
-        temb = nn.Dense(temb_dim, dtype=jnp.float32, name="temb_2")(
-            jax.nn.silu(temb)
+        ch = self.hid_channels
+        temb_dim = ch[0] * 4
+        self.temb_0 = nn.Dense(temb_dim, dtype=jnp.float32)
+        self.temb_2 = nn.Dense(temb_dim, dtype=jnp.float32)
+        conv_kw = dict(dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                       precision=p.precision)
+        self.conv_in = nn.Conv(ch[0], (3, 3), padding=((1, 1), (1, 1)), **conv_kw)
+
+        levels = len(ch)
+        down_blocks, downsamples = {}, {}
+        for i in range(levels):
+            for j in range(self.hid_blocks[i]):
+                down_blocks[(i, j)] = _TimeResBlock(
+                    ch[i], p, name=f"down_{i}_block_{j}"
+                )
+            if i != levels - 1:
+                downsamples[i] = nn.Conv(
+                    ch[i + 1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    name=f"down_{i}_downsample", **conv_kw,
+                )
+        self._down_blocks = down_blocks
+        self._downsamples = downsamples
+
+        self.mid_block_1 = _TimeResBlock(ch[-1], p)
+        if self.attention_at_bottom:
+            self.mid_attn = _SelfAttention(ch[-1], p)
+        self.mid_block_2 = _TimeResBlock(ch[-1], p)
+
+        up_blocks, upsamples = {}, {}
+        for i in reversed(range(levels)):
+            for j in range(self.hid_blocks[i] + 1):
+                up_blocks[(i, j)] = _TimeResBlock(ch[i], p, name=f"up_{i}_block_{j}")
+            if i != 0:
+                upsamples[i] = nn.Conv(
+                    ch[i - 1], (3, 3), padding=((1, 1), (1, 1)),
+                    name=f"up_{i}_upsample", **conv_kw,
+                )
+        self._up_blocks = up_blocks
+        self._upsamples = upsamples
+
+        self.norm_out = nn.GroupNorm(
+            num_groups=min(32, ch[0]), epsilon=1e-6, dtype=p.norm_dtype
+        )
+        self.conv_out = nn.Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+            kernel_init=nn.initializers.zeros, **conv_kw,
         )
 
+    def _temb(self, t: jax.Array) -> jax.Array:
+        temb = timestep_embedding(t, self.hid_channels[0])
+        return self.temb_2(jax.nn.silu(self.temb_0(temb)))
+
+    def encode_path(
+        self, x: jax.Array, t: jax.Array, cond: jax.Array | None = None
+    ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
+        """conv_in → down blocks → bottleneck. Returns (h_mid, skips)."""
+        p = self.policy
+        temb = self._temb(t)
         if cond is not None:
             x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
-        h = nn.Conv(self.hid_channels[0], (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                    precision=p.precision, name="conv_in")(p.cast_to_compute(x))
+        h = self.conv_in(p.cast_to_compute(x))
 
         skips = [h]
         levels = len(self.hid_channels)
         for i in range(levels):
             for j in range(self.hid_blocks[i]):
-                h = _TimeResBlock(self.hid_channels[i], p, name=f"down_{i}_block_{j}")(
-                    h, temb
-                )
+                h = self._down_blocks[(i, j)](h, temb)
                 skips.append(h)
             if i != levels - 1:
-                h = nn.Conv(self.hid_channels[i + 1], (3, 3), strides=(2, 2),
-                            padding=((1, 1), (1, 1)), dtype=p.compute_dtype,
-                            param_dtype=p.param_dtype, precision=p.precision,
-                            name=f"down_{i}_downsample")(h)
+                h = self._downsamples[i](h)
                 skips.append(h)
 
-        h = _TimeResBlock(self.hid_channels[-1], p, name="mid_block_1")(h, temb)
+        h = self.mid_block_1(h, temb)
         if self.attention_at_bottom:
-            h = _SelfAttention(self.hid_channels[-1], p, name="mid_attn")(h)
-        h = _TimeResBlock(self.hid_channels[-1], p, name="mid_block_2")(h, temb)
+            h = self.mid_attn(h)
+        h = self.mid_block_2(h, temb)
+        return h, tuple(skips)
 
+    def decode_path(
+        self, h: jax.Array, skips: tuple[jax.Array, ...], t: jax.Array
+    ) -> jax.Array:
+        """Up blocks + output head consuming the skip pyramid."""
+        temb = self._temb(t)
+        skips = list(skips)
+        levels = len(self.hid_channels)
         for i in reversed(range(levels)):
             # blocks+1 skips per level: the extra one is the previous level's
             # downsample output (or the conv_in stem at the top level).
             for j in range(self.hid_blocks[i] + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
-                h = _TimeResBlock(self.hid_channels[i], p, name=f"up_{i}_block_{j}")(
-                    h, temb
-                )
+                h = self._up_blocks[(i, j)](h, temb)
             if i != 0:
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                h = nn.Conv(self.hid_channels[i - 1], (3, 3),
-                            padding=((1, 1), (1, 1)), dtype=p.compute_dtype,
-                            param_dtype=p.param_dtype, precision=p.precision,
-                            name=f"up_{i}_upsample")(h)
+                h = self._upsamples[i](h)
 
-        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-6,
-                         dtype=p.norm_dtype, name="norm_out")(h)
+        h = self.norm_out(h)
         h = jax.nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                    precision=p.precision, kernel_init=nn.initializers.zeros,
-                    name="conv_out")(p.cast_to_compute(h))
-        return h
+        return self.conv_out(self.policy.cast_to_compute(h))
+
+    def __call__(
+        self, x: jax.Array, t: jax.Array, cond: jax.Array | None = None
+    ) -> jax.Array:
+        h, skips = self.encode_path(x, t, cond)
+        return self.decode_path(h, skips, t)

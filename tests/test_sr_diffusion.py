@@ -110,3 +110,38 @@ def test_sr_trainer_overfits_identity():
 
     out = trainer.sample(state, hr.shape, cond=hr, seed=1)
     assert out.shape == hr.shape
+
+
+def test_cached_ddim_close_to_exact():
+    """Encoder-propagation sampler tracks the exact DDIM closely on a
+    trained-ish toy model (it is an approximation by design)."""
+    from eovax.models.sr_diffusion import CachedDDIMSampler
+
+    apply_fn, params = _toy_unet()
+
+    # Rebuild the underlying UNet module to hand to the cached sampler.
+    from eovax.core.precision import FULL_PRECISION
+    from eovax.models.unet import UNet
+
+    unet = UNet(in_channels=4, out_channels=4, cond_channels=4,
+                hid_channels=(32, 16), hid_blocks=(1, 1), policy=FULL_PRECISION)
+
+    den = SimpleDenoiser(apply_fn=apply_fn)
+    g = np.random.default_rng(0)
+    cond = jnp.asarray(g.standard_normal((2, 8, 8, 4), dtype=np.float32))
+
+    exact = DDIMSampler(den, steps=8)
+    cached = CachedDDIMSampler(den, unet, steps=8, cache_every=2)
+    x1 = exact.init(jax.random.PRNGKey(0), (2, 8, 8, 4))
+
+    out_exact = np.asarray(exact(params, x1, cond=cond))
+    out_cached = np.asarray(cached(params, x1, cond=cond))
+    assert np.isfinite(out_cached).all()
+    # Same sampler when every step is a key step.
+    out_key_all = np.asarray(
+        CachedDDIMSampler(den, unet, steps=8, cache_every=1)(params, x1, cond=cond)
+    )
+    np.testing.assert_allclose(out_key_all, out_exact, rtol=1e-4, atol=1e-4)
+    # Approximation stays in the same ballpark.
+    scale = np.abs(out_exact).mean() + 1e-6
+    assert np.abs(out_cached - out_exact).mean() / scale < 0.5
