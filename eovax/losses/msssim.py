@@ -33,22 +33,33 @@ def _gaussian_1d(kernel_size: int, sigma: float) -> tuple[float, ...]:
     return tuple(float(v) for v in g)
 
 
+@functools.lru_cache(maxsize=64)
+def _blur_matrix(n_in: int, kernel_size: int, sigma: float):
+    """Banded [n_in-k+1, n_in] VALID-blur matrix."""
+    import numpy as np
+
+    g = np.asarray(_gaussian_1d(kernel_size, sigma), np.float32)
+    n_out = n_in - kernel_size + 1
+    m = np.zeros((n_out, n_in), np.float32)
+    for a in range(kernel_size):
+        m[np.arange(n_out), np.arange(n_out) + a] = g[a]
+    return m
+
+
 def _depthwise_blur(x: jax.Array, kernel_size: int, sigma: float) -> jax.Array:
-    """Separable gaussian filter, VALID padding. x: [B,H,W,C] fp32."""
-    c = x.shape[-1]
-    g = jnp.asarray(_gaussian_1d(kernel_size, sigma), jnp.float32)
-    kh = jnp.tile(g.reshape(kernel_size, 1, 1, 1), (1, 1, 1, c))
-    kw = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, c))
-    dn = ("NHWC", "HWIO", "NHWC")
+    """Separable gaussian filter, VALID padding. x: [B,H,W,C] fp32.
+
+    TPU note: expressed as two banded matmuls over the H and W axes rather
+    than depthwise convs — low-channel (≤13) depthwise convs run on the VPU
+    at a few % utilization, while these matmuls ride the MXU. Cuts the
+    MS-SSIM term's train-step cost ~50× at 256² (measured: the depthwise
+    form added 282 ms to a 321 ms step at B=16).
+    """
     hi = jax.lax.Precision.HIGHEST
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
-        precision=hi,
-    )
-    return jax.lax.conv_general_dilated(
-        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
-        precision=hi,
-    )
+    mh = jnp.asarray(_blur_matrix(x.shape[1], kernel_size, sigma))
+    mw = jnp.asarray(_blur_matrix(x.shape[2], kernel_size, sigma))
+    y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=hi)
+    return jnp.einsum("pw,bowc->bopc", mw, y, precision=hi)
 
 
 def _ssim_and_cs(
