@@ -207,20 +207,40 @@ def _modality_from_path(path: str) -> str | None:
 
 
 def decode_sample(
-    sample: dict[str, Any], *, harmonize_s2l2a: bool = False
+    sample: dict[str, Any], *, harmonize_s2l2a: bool = False,
+    return_metadata: bool = False,
 ) -> dict[str, Any]:
     """zip-zarr members → fp32 HWC arrays; squeezes the time dim
     (drop_time_dim, terramesh.py:319-337). Single-modality samples get the
-    'image' key (rename parity, terramesh.py:410)."""
+    'image' key (rename parity, terramesh.py:410). With return_metadata,
+    attaches center_lon/center_lat/cloud_mask/time like
+    zarr_metadata_decoding (terramesh.py:256-311)."""
+    from eovax.data.zarrzip import ZarrZipGroup
+
     out: dict[str, Any] = {"__key__": sample.get("__key__")}
     for ext, value in sample.items():
         if ext == "__key__":
             continue
         if ext == "zarr.zip" or ext.endswith(".zarr.zip"):
             is_s2l2a = "S2L2A" in ext or ext == "zarr.zip"
-            bands = decode_zarr_zip_bands(
-                value, harmonize_s2l2a=harmonize_s2l2a and is_s2l2a
-            )
+            if return_metadata:
+                group = ZarrZipGroup(value)
+                bands = np.asarray(group["bands"], np.float32)
+                timestamp = int(np.asarray(group.get("time", 0)).reshape(-1)[0])
+                if harmonize_s2l2a and is_s2l2a and timestamp >= S2L2A_BASELINE_CUTOFF_NS:
+                    bands = bands + 1000.0
+                if "center_lon" not in out and "center_lon" in group:
+                    out["center_lon"] = np.asarray(group["center_lon"]).reshape(-1)[0]
+                    out["center_lat"] = np.asarray(group["center_lat"]).reshape(-1)[0]
+                if "cloud_mask" in group and "cloud_mask" not in out:
+                    out["cloud_mask"] = np.asarray(group["cloud_mask"])
+                if timestamp > 1e6:  # DEM has no valid timestamp (value 0)
+                    tkey = "time" if ext == "zarr.zip" else "time_" + ext[: -len(".zarr.zip")]
+                    out[tkey] = timestamp
+            else:
+                bands = decode_zarr_zip_bands(
+                    value, harmonize_s2l2a=harmonize_s2l2a and is_s2l2a
+                )
             if bands.ndim == 4 and bands.shape[0] == 1:
                 bands = bands[0]  # drop time dim
             bands = np.transpose(bands, (1, 2, 0))  # CHW → HWC (TPU layout)
