@@ -116,7 +116,10 @@ def main() -> None:
         float(jnp.sum(y[0, 0, 0]))
         return BATCH * iters / (time.perf_counter() - t0)
 
-    run_chain(WARMUP, sync_every=1)  # warmup / compile
+    run_chain(WARMUP, sync_every=1)  # compile
+    run_chain(ITERS, sync_every=ITERS)  # full-length warm pass — the first
+    # measured-length pass through the tunnel carries deferred
+    # compilation/auto-tuning work (observed 5-25x inflation).
 
     value = run_chain(ITERS, sync_every=ITERS)
     if value > 10_000:  # physically impossible for ~1 TFLOP/img — runtime

@@ -108,8 +108,10 @@ def sdpa_auto(
     flash_threshold: int = 4096,
     precision=None,
 ):
-    """Dispatch: plain attention for short sequences (XLA fuses it well at
-    ≤1k tokens), flash kernel for long ones (high-res inference)."""
+    """Dispatch: plain attention for short sequences (≤1k tokens XLA fuses
+    it well and the S² logits tensor is tiny), flash kernel for long ones
+    (measured on v5e: 7.8 ms vs 10.5 ms plain at 4k tokens ch512 B=8, and
+    O(S·D) memory instead of the S² logits — 1 GB/sample at 16k)."""
     b, s, d = q.shape
     on_tpu = jax.default_backend() not in ("cpu",)
     if s >= flash_threshold and s % 512 == 0 and on_tpu:
