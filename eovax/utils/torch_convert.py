@@ -390,3 +390,80 @@ def _collect_unloaded(variables, updates, prefix="") -> list[str]:
 
     rec(tpl, upd, ())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: eovax variables → torch state dict (ecosystem export)
+# ---------------------------------------------------------------------------
+
+_REVERSE_REWRITES = [
+    (re.compile(r"(^|\.)down_(\d+)_block_(\d+)\."), r"\1down.\2.block.\3."),
+    (re.compile(r"(^|\.)down_(\d+)_downsample\."), r"\1down.\2.downsample."),
+    (re.compile(r"(^|\.)up_(\d+)_block_(\d+)\."), r"\1up.\2.block.\3."),
+    (re.compile(r"(^|\.)up_(\d+)_upsample\."), r"\1up.\2.upsample."),
+    (re.compile(r"(^|\.)mid_block_(\d)\."), r"\1mid.block_\2."),
+    (re.compile(r"(^|\.)mid_attn_(\d)\."), r"\1mid.attn_\2."),
+    (re.compile(r"transformer_encoder\.layers_(\d+)\."), r"transformer_encoder.layers.\1."),
+    (re.compile(r"fc_weight_(\d+)\."), r"fc_weight.\1."),
+    (re.compile(r"(^|\.)conditioner\.mlp_(\d+)\."), r"\1conditioner.mlp.\2."),
+    (re.compile(r"(^|\.)blocks_(\d+)\."), r"\1blocks.\2."),
+    (re.compile(r"\.attn_qkv\."), r".attn.qkv."),
+    (re.compile(r"\.attn_proj\."), r".attn.proj."),
+    (re.compile(r"\.mlp_fc1\."), r".mlp.fc1."),
+    (re.compile(r"\.mlp_fc2\."), r".mlp.fc2."),
+]
+
+
+def _denormalize_module_path(path: str) -> str:
+    for pat, repl in _REVERSE_REWRITES:
+        path = pat.sub(repl, path)
+    return path
+
+
+def export_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """eovax variables → torch-layout state dict (the inverse of
+    `convert_state_dict`): enables shipping eovax-trained weights back into
+    the PyTorch reference (round-trip tested against the reference
+    modules)."""
+    out: dict[str, np.ndarray] = {}
+
+    def walk(tree, path):
+        if isinstance(tree, Mapping):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+            return
+        arr = np.asarray(tree, np.float32)
+        parts = list(path)
+        leaf = parts[-1]
+        if len(parts) >= 2 and parts[-2] == "in_proj":
+            # MultiheadAttention packed projection.
+            module = ".".join(parts[:-2])
+            if leaf == "kernel":
+                out[_denormalize_module_path(module + ".") + "in_proj_weight"] = arr.T
+            else:
+                out[_denormalize_module_path(module + ".") + "in_proj_bias"] = arr
+            return
+        module = ".".join(parts[:-1])
+        prefix = _denormalize_module_path(module + ".") if module else ""
+        if leaf == "kernel":
+            if arr.ndim == 4:  # HWIO → OIHW
+                out[prefix + "weight"] = arr.transpose(3, 2, 0, 1)
+            else:  # [I,O] → [O,I]
+                out[prefix + "weight"] = arr.T
+        elif leaf == "scale":
+            out[prefix + "weight"] = arr
+        elif leaf == "bias":
+            out[prefix + "bias"] = arr
+        elif leaf in ("weight_tokens", "bias_token"):
+            out[prefix + leaf] = arr
+        elif leaf == "mean":  # LatentBatchNorm stats
+            out[prefix + "running_mean"] = arr
+        elif leaf == "var":
+            out[prefix + "running_var"] = arr
+            out[prefix + "num_batches_tracked"] = np.asarray(0, np.int64)
+        else:
+            out[prefix + leaf] = arr
+
+    walk(variables.get("params", {}), ())
+    walk(variables.get("batch_stats", {}), ())
+    return out

@@ -70,3 +70,37 @@ def test_full_lightning_ckpt_roundtrip(tmp_path):
 
     recon = np.asarray(model.reconstruct(x, WVS))
     np.testing.assert_allclose(recon, recon_ref, rtol=2e-3, atol=5e-4)
+
+
+def test_export_state_dict_roundtrip_into_torch():
+    """eovax → torch export: the reference torch modules load the exported
+    dict strictly and reproduce eovax outputs."""
+    from eovax.utils.torch_convert import export_state_dict
+
+    cfg = VAEConfig(
+        encoder=EncoderConfig.from_dict(dict(ENC_KW)),
+        decoder=DecoderConfig.from_dict(dict(DEC_KW)),
+    )
+    model = EOFluxVAE(cfg, seed=11)
+    exported = export_state_dict(model.variables)
+
+    enc_sd = {k[len("encoder."):]: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in exported.items() if k.startswith("encoder.")}
+    dec_sd = {k[len("decoder."):]: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in exported.items() if k.startswith("decoder.")}
+
+    enc_t = model_t.Encoder(**ENC_KW).eval()
+    dec_t = model_t.Decoder(**DEC_KW).eval()
+    missing, unexpected = enc_t.load_state_dict(enc_sd, strict=True), None
+    dec_t.load_state_dict(dec_sd, strict=True)
+
+    g = np.random.default_rng(12)
+    x = g.standard_normal((1, 3, 32, 32), dtype=np.float32)
+    with torch.no_grad():
+        moments_ref = enc_t(torch.from_numpy(x), torch.from_numpy(WVS)).numpy()
+    post = model.encode(x, WVS)
+    moments_ours = np.concatenate(
+        [np.asarray(post.mean), np.asarray(post.logvar)], axis=1
+    )
+    mean_ref = moments_ref[:, :8]
+    np.testing.assert_allclose(np.asarray(post.mean), mean_ref, rtol=2e-3, atol=2e-4)
