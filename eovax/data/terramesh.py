@@ -386,12 +386,29 @@ def build_terramesh_dataset(
                 )
 
             def decoded():
-                for stream in streams:
-                    for raw in stream:
-                        try:
-                            yield decode_sample(raw, harmonize_s2l2a=harmonize_s2l2a)
-                        except Exception as e:  # warn_and_continue parity
-                            warnings.warn(f"Skipping corrupt sample: {e}")
+                def _decode(raw):
+                    try:
+                        return decode_sample(raw, harmonize_s2l2a=harmonize_s2l2a)
+                    except Exception as e:  # warn_and_continue parity
+                        warnings.warn(f"Skipping corrupt sample: {e}")
+                        return None
+
+                if num_reader_threads <= 1:
+                    for stream in streams:
+                        for raw in stream:
+                            s = _decode(raw)
+                            if s is not None:
+                                yield s
+                else:
+                    # Decode samples in a thread pool (native blosc +
+                    # zlib release the GIL) while the tar stream feeds it.
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(num_reader_threads) as pool:
+                        for stream in streams:
+                            for s in pool.map(_decode, stream, chunksize=1):
+                                if s is not None:
+                                    yield s
 
             it = decoded()
             if shuffle:

@@ -58,15 +58,54 @@ def _blosc_zlib_python(frame: bytes) -> bytes:
     return bytes(out)
 
 
+def _stored_entry_index(data: bytes) -> dict[str, tuple[int, int]] | None:
+    """Parse the zip central directory; if every entry is STORED
+    (uncompressed — the zarr zip-store default), return name → (offset,
+    size) so members can be sliced without zipfile/CRC overhead."""
+    import struct
+
+    eocd = data.rfind(b"PK\x05\x06", max(0, len(data) - 66000))
+    if eocd < 0:
+        return None
+    count = struct.unpack_from("<H", data, eocd + 10)[0]
+    cd_off = struct.unpack_from("<I", data, eocd + 16)[0]
+    index: dict[str, tuple[int, int]] = {}
+    p = cd_off
+    for _ in range(count):
+        if data[p : p + 4] != b"PK\x01\x02":
+            return None
+        method = struct.unpack_from("<H", data, p + 10)[0]
+        csize = struct.unpack_from("<I", data, p + 20)[0]
+        name_len = struct.unpack_from("<H", data, p + 28)[0]
+        extra_len = struct.unpack_from("<H", data, p + 30)[0]
+        comment_len = struct.unpack_from("<H", data, p + 32)[0]
+        lho = struct.unpack_from("<I", data, p + 42)[0]
+        name = data[p + 46 : p + 46 + name_len].decode()
+        if method != 0:  # not STORED → fall back to zipfile wholesale
+            return None
+        # Local header: name/extra lengths may differ from central dir.
+        ln = struct.unpack_from("<H", data, lho + 26)[0]
+        le = struct.unpack_from("<H", data, lho + 28)[0]
+        index[name] = (lho + 30 + ln + le, csize)
+        p += 46 + name_len + extra_len + comment_len
+    return index
+
+
 class ZarrZipGroup:
     """Read-only view over a zarr v2 group stored in a zip archive."""
 
     def __init__(self, data: bytes):
-        self._zf = zipfile.ZipFile(io.BytesIO(data))
-        self._names = set(self._zf.namelist())
+        self._data = data
+        self._index = _stored_entry_index(data)
+        if self._index is not None:
+            self._names = set(self._index)
+            self._zf = None
+        else:
+            self._zf = zipfile.ZipFile(io.BytesIO(data))
+            self._names = set(self._zf.namelist())
         self._meta: dict[str, dict] = {}
         if ".zmetadata" in self._names:
-            consolidated = json.loads(self._zf.read(".zmetadata"))
+            consolidated = json.loads(self._read(".zmetadata"))
             for key, val in consolidated.get("metadata", {}).items():
                 if key.endswith(".zarray"):
                     self._meta[key[: -len("/.zarray")]] = val
@@ -74,8 +113,14 @@ class ZarrZipGroup:
             for name in self._names:
                 if name.endswith(".zarray"):
                     self._meta[name[: -len("/.zarray")]] = json.loads(
-                        self._zf.read(name)
+                        self._read(name)
                     )
+
+    def _read(self, name: str) -> bytes:
+        if self._index is not None:
+            off, size = self._index[name]
+            return self._data[off : off + size]
+        return self._zf.read(name)
 
     def keys(self):
         return self._meta.keys()
@@ -97,17 +142,27 @@ class ZarrZipGroup:
 
         if not shape:  # 0-d array
             key = f"{name}/0"
-            raw = _decompress(self._zf.read(key), compressor, dtype.itemsize)
+            raw = _decompress(self._read(key), compressor, dtype.itemsize)
             return np.frombuffer(raw, dtype)[0]
 
-        out = np.full(shape, fill if fill is not None else 0, dtype=dtype)
         grid = [-(-s // c) for s, c in zip(shape, chunks)]
+        # Fast path: single whole-array chunk (the TerraMesh layout) —
+        # decode straight into the output, no fill + copy.
+        if all(g == 1 for g in grid) and tuple(chunks) == shape:
+            key = f"{name}/{sep.join('0' for _ in shape)}"
+            if key in self._names:
+                nbytes = int(np.prod(shape)) * dtype.itemsize
+                raw = _decompress(self._read(key), compressor, nbytes)
+                arr = np.frombuffer(raw, dtype=dtype)
+                return arr.reshape(shape, order="F" if order == "F" else "C")
+
+        out = np.full(shape, fill if fill is not None else 0, dtype=dtype)
         for idx in np.ndindex(*grid):
             key = f"{name}/{sep.join(str(i) for i in idx)}"
             if key not in self._names:
                 continue  # missing chunk → fill value
             nbytes = int(np.prod(chunks)) * dtype.itemsize
-            raw = _decompress(self._zf.read(key), compressor, nbytes)
+            raw = _decompress(self._read(key), compressor, nbytes)
             block = np.frombuffer(raw, dtype=dtype)
             block = block.reshape(chunks, order="F" if order == "F" else "C")
             slices = tuple(

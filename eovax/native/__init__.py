@@ -34,7 +34,7 @@ def _build() -> str:
     if os.path.exists(lib_path):
         return lib_path
     tmp = lib_path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except subprocess.CalledProcessError as e:  # pragma: no cover

@@ -147,6 +147,23 @@ void eovax_unshuffle(int typesize, long n, const uint8_t* src, uint8_t* dst) {
     return;
   }
   const long elems = n / typesize;
+  if (typesize == 4) {
+    // Hot path (fp32/int32 bands): 4 sequential read streams packed into
+    // one sequential uint32 write stream — auto-vectorizes under -O3 and
+    // runs near memcpy speed (the generic strided loop re-touches every
+    // destination cache line `typesize` times).
+    const uint8_t* s0 = src;
+    const uint8_t* s1 = src + elems;
+    const uint8_t* s2 = src + 2 * elems;
+    const uint8_t* s3 = src + 3 * elems;
+    for (long i = 0; i < elems; ++i) {
+      const uint32_t v = static_cast<uint32_t>(s0[i]) |
+                         (static_cast<uint32_t>(s1[i]) << 8) |
+                         (static_cast<uint32_t>(s2[i]) << 16) |
+                         (static_cast<uint32_t>(s3[i]) << 24);
+      std::memcpy(dst + 4 * i, &v, 4);
+    }
+  } else {
   for (int t = 0; t < typesize; ++t) {
     const uint8_t* s = src + t * elems;
     uint8_t* d = dst + t;
@@ -154,6 +171,7 @@ void eovax_unshuffle(int typesize, long n, const uint8_t* src, uint8_t* dst) {
       *d = s[i];
       d += typesize;
     }
+  }
   }
   // Trailing bytes (n not divisible by typesize) are stored verbatim.
   const long tail = n - elems * typesize;
