@@ -120,6 +120,7 @@ def main(argv=None) -> None:
             norm_scheme=dm_cfg.get("norm_scheme", "legacy"),
             target_size=tuple(dm_cfg.get("target_size", (256, 256))),
             seed=args.seed,
+            num_workers=dm_cfg.get("num_workers", 4),
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )

@@ -444,6 +444,7 @@ class TerraMeshPipeline:
         norm_scheme: str = "legacy",
         target_size: tuple[int, int] | None = (256, 256),
         seed: int | None = None,
+        num_workers: int = 4,  # reader/decoder threads (reference default)
         process_index: int = 0,
         process_count: int = 1,
     ):
@@ -457,6 +458,7 @@ class TerraMeshPipeline:
         self.batch_size = batch_size
         self.eval_batch_size = eval_batch_size
         self.seed = seed
+        self.num_workers = num_workers
         self.process = dict(process_index=process_index, process_count=process_count)
         harmonize = norm_scheme == "custom" and "S2L2A" in self.modalities
         self._harmonize = harmonize
@@ -480,7 +482,8 @@ class TerraMeshPipeline:
         raw = build_terramesh_dataset(
             self.data_path, self.modalities, "train",
             batch_size=self.batch_size, shuffle=True, seed=self.seed,
-            harmonize_s2l2a=self._harmonize, repeat=True, **self.process,
+            harmonize_s2l2a=self._harmonize, repeat=True,
+            num_reader_threads=self.num_workers, **self.process,
         )
         return (self.train_collate(b) for b in raw)
 
@@ -488,6 +491,7 @@ class TerraMeshPipeline:
         raw = build_terramesh_dataset(
             self.data_path, self.modalities, "val",
             batch_size=self.eval_batch_size, shuffle=False,
-            harmonize_s2l2a=self._harmonize, **self.process,
+            harmonize_s2l2a=self._harmonize,
+            num_reader_threads=self.num_workers, **self.process,
         )
         return (self.val_collate(b) for b in raw)
