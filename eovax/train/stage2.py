@@ -446,6 +446,7 @@ class Stage2Trainer:
     ) -> TrainState:
         state = state if state is not None else self.init_state()
         t0 = time.time()
+        global_step = int(state.step)  # resume-aware host-side counter
         for i, batch in enumerate(train_iter):
             if i >= self.max_steps:
                 break
@@ -463,7 +464,7 @@ class Stage2Trainer:
                 disc_start = getattr(self.loss_obj, "disc_start",
                                      getattr(self.loss_obj, "disc_update_start_step", 0))
                 disc_weight = getattr(self.loss_obj, "disc_weight", 0.0)
-                if i >= disc_start and disc_weight > 0.0:
+                if global_step >= disc_start and disc_weight > 0.0:
                     state, d_logs = self._jitted("disc")(
                         state, target, sharded["wvs"], recon
                     )
@@ -471,8 +472,9 @@ class Stage2Trainer:
             else:
                 state, logs = fn(state, sharded["image"], sharded["wvs"], step_key)
 
+            global_step += 1
             if self.log_every and (i + 1) % self.log_every == 0:
-                self._log(i + 1, logs, t0)
+                self._log(global_step, logs, t0)
             if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
                 self.save_checkpoint(state)
             if self.val_every and val_iter_factory and (i + 1) % self.val_every == 0:
