@@ -38,7 +38,7 @@ def main(argv=None) -> None:
 
     from eovax.core.config import load_yaml, VAEConfig
     from eovax.core.precision import policy_from_name
-    from eovax.losses import EOConsistencyLoss
+    from eovax.losses.factory import build_loss_from_config
     from eovax.models.eo_flux_vae import EOFluxVAE
     from eovax.parallel.mesh import init_distributed
     from eovax.train.stage2 import Stage2Trainer
@@ -49,7 +49,8 @@ def main(argv=None) -> None:
     raw_cfg = load_yaml(args.config)
     cfg = VAEConfig.from_dict(raw_cfg)
 
-    model = EOFluxVAE(cfg, policy=policy_from_name(args.precision), seed=args.seed)
+    policy = policy_from_name(args.precision)
+    model = EOFluxVAE(cfg, policy=policy, seed=args.seed)
     # Component-wise loading (train.py:75-98): Flux body, then distilled stems.
     if args.flux_ckpt:
         model.load_checkpoint(args.flux_ckpt, strict=False)
@@ -58,8 +59,12 @@ def main(argv=None) -> None:
     if args.ckpt:
         model.load_checkpoint(args.ckpt)
 
+    # Loss (+ optional GAN discriminator with encoder-stem injection,
+    # train.py:105-117).
     loss_cfg = raw_cfg.get("model", {}).get("loss_fn", {})
-    loss_obj = EOConsistencyLoss.from_dict(loss_cfg) if loss_cfg else EOConsistencyLoss()
+    loss_obj, discriminator, seed_disc_stem = build_loss_from_config(
+        loss_cfg, cfg, policy=policy, seed=args.seed
+    )
 
     trainer_cfg = raw_cfg.get("trainer", {})
     max_epochs = trainer_cfg.get("max_epochs", 100)
@@ -68,6 +73,7 @@ def main(argv=None) -> None:
 
     exp_dir = None
     logger = None
+    image_logger = None
     if not args.debug:
         exp = raw_cfg.get("experiment", {})
         exp_dir = create_experiment_dir(
@@ -75,6 +81,9 @@ def main(argv=None) -> None:
         )
         snapshot_config(args.config, exp_dir)
         logger = CSVLogger(exp_dir)
+        from eovax.utils.image_logger import ImageLogger
+
+        image_logger = ImageLogger(exp_dir)
         wandb_cfg = raw_cfg.get("wandb")
         if wandb_cfg and wandb_cfg.get("mode", "online") != "disabled":
             from eovax.utils.logging import MultiLogger, WandbLogger
@@ -137,6 +146,10 @@ def main(argv=None) -> None:
         ckpt_every=limit_train if exp_dir else 0,
         log_every=trainer_cfg.get("log_every_n_steps", 100),
         logger=logger,
+        discriminator=discriminator,
+        seed_disc_stem=seed_disc_stem,
+        image_logger=image_logger,
+        norm_scheme=raw_cfg.get("datamodule", {}).get("norm_scheme", "legacy"),
         seed=args.seed,
     )
     state = trainer.fit(train_iter, val_factory)

@@ -21,6 +21,7 @@ def build_denoiser_from_config(cfg: dict, *, policy=None, seed: int = 0):
 
     from eovax.core.precision import DEFAULT_POLICY
     from eovax.models.sr_diffusion import (
+        DecaySchedule,
         KarrasDenoiser,
         RectifiedSchedule,
         SimpleDenoiser,
@@ -41,7 +42,12 @@ def build_denoiser_from_config(cfg: dict, *, policy=None, seed: int = 0):
     )
 
     sched_target = den_cfg.get("schedule", {}).get("_target_", "RectifiedSchedule")
-    schedule = VPSchedule() if "VPSchedule" in sched_target else RectifiedSchedule()
+    if "VPSchedule" in sched_target:
+        schedule = VPSchedule()
+    elif "DecaySchedule" in sched_target:
+        schedule = DecaySchedule()
+    else:
+        schedule = RectifiedSchedule()
 
     latent = bb.get("in_channels", 32)
     x = jnp.zeros((1, 16, 16, latent))
@@ -81,7 +87,7 @@ def main(argv=None) -> None:
     max_epochs = trainer_cfg.get("max_epochs", 750)
     max_steps = args.max_steps or max_epochs * SR_STEPS_PER_EPOCH
 
-    exp_dir = logger = None
+    exp_dir = logger = image_logger = None
     if not args.debug:
         exp = raw.get("experiment", {})
         exp_dir = create_experiment_dir(
@@ -89,6 +95,9 @@ def main(argv=None) -> None:
         )
         snapshot_config(args.config, exp_dir)
         logger = CSVLogger(exp_dir)
+        from eovax.utils.image_logger import SuperResImageLogger
+
+        image_logger = SuperResImageLogger(exp_dir)
 
     dm_cfg = raw["datamodule"]
     train_ds = Sen2NaipCrossSensorLatent(
@@ -114,6 +123,7 @@ def main(argv=None) -> None:
         grad_clip=trainer_cfg.get("gradient_clip_val", 1.0),
         log_every=trainer_cfg.get("log_every_n_steps", 20),
         logger=logger,
+        image_logger=image_logger,
         seed=args.seed,
     )
     state = trainer.fit(

@@ -51,7 +51,13 @@ def _safe_eval(expr: str) -> Any:
     for sub in ast.walk(node):
         if not isinstance(sub, allowed):
             raise ValueError(f"Unsafe expression in config: {expr!r}")
-    return eval(compile(node, "<config>", "eval"))  # noqa: S307 — AST-validated
+    result = eval(compile(node, "<config>", "eval"))  # noqa: S307 — AST-validated
+    # OmegaConf resolver-arg quoting: ${eval:'1 * 2000'} hands the resolver
+    # the *unquoted* string, so a quoted expr must be evaluated once more
+    # (reference registers `eval` at train.py:16).
+    if isinstance(result, str):
+        return _safe_eval(result)
+    return result
 
 
 def resolve_interpolations(cfg: Any, root: dict | None = None) -> Any:
@@ -109,7 +115,14 @@ def load_yaml(path: str) -> dict:
 
 @dataclasses.dataclass(frozen=True)
 class StemConfig:
-    """dynamic_conv_kwargs (configs/eo-vae.yaml:42-44 uses num_layers/wv_planes)."""
+    """dynamic_conv_kwargs (configs/eo-vae.yaml:42-44 uses num_layers/wv_planes).
+
+    ``mode='basis'`` selects the shared-basis stems (eovax.nn.dynamic_basis)
+    with ``num_bases``/``rank_dim``. Note the reference *crashes* on its own
+    finetune_consistency_bases.yaml (model.py:102 pops ``mode`` and forwards
+    num_bases/out_channels/rank_dim to DynamicConv, which rejects them) —
+    here the recipe actually works.
+    """
 
     num_layers: int
     wv_planes: int = 128
@@ -119,11 +132,16 @@ class StemConfig:
     rank_ratio: int = 4
     use_adain: bool = False
     kernel_size: int = 3
+    mode: str = "conv"  # 'conv' (hypernet transformer) | 'basis' (shared bank)
+    num_bases: int = 64
+    rank_dim: int = 64
 
     @classmethod
     def from_dict(cls, d: dict | None, default_num_layers: int) -> "StemConfig":
         d = dict(d or {})
-        d.pop("mode", None)  # parity: popped and ignored (model.py:102)
+        # out_channels in the bases recipe always equals the model ch; the
+        # backbone sets the stem width from cfg.ch either way.
+        d.pop("out_channels", None)
         d.setdefault("num_layers", default_num_layers)
         return cls(**d)
 
@@ -228,6 +246,10 @@ class VAEConfig:
         if "encoder" not in model_cfg or "decoder" not in model_cfg:
             raise ValueError("Invalid config: expected `encoder` and `decoder` sections")
         vae_kwargs = {k: model_cfg[k] for k in VAE_KEYS if k in model_cfg}
+        # FluxAutoencoderKL configs spell the cosine floor `final_lr_sched`
+        # (configs/finetune_gan.yaml:17 vs new_autoencoder's `final_lr`).
+        if "final_lr" not in vae_kwargs and "final_lr_sched" in model_cfg:
+            vae_kwargs["final_lr"] = model_cfg["final_lr_sched"]
         return cls(
             encoder=EncoderConfig.from_dict(model_cfg["encoder"]),
             decoder=DecoderConfig.from_dict(model_cfg["decoder"]),

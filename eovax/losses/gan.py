@@ -79,6 +79,9 @@ class DynamicPatchGAN(nn.Module):
     n_layers: int = 3
     wv_planes: int = 128
     stem_num_layers: int = 1
+    stem_num_heads: int = 4
+    stem_generator_type: str = "transformer"
+    stem_rank_ratio: int = 4
     policy: Policy = FULL_PRECISION
 
     @nn.compact
@@ -86,7 +89,10 @@ class DynamicPatchGAN(nn.Module):
         p = self.policy
         h = DynamicConv(
             wv_planes=self.wv_planes, embed_dim=self.ndf,
-            num_layers=self.stem_num_layers, policy=p, name="dynamic_input",
+            num_layers=self.stem_num_layers, num_heads=self.stem_num_heads,
+            generator_type=self.stem_generator_type,
+            rank_ratio=self.stem_rank_ratio,
+            policy=p, name="dynamic_input",
         )(x, wvs)
 
         def sn_conv(h, feats, stride, use_bias, name):

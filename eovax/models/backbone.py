@@ -27,6 +27,7 @@ from eovax.nn.blocks import (
     swish,
 )
 from eovax.nn.distributions import DiagonalGaussian
+from eovax.nn.dynamic_basis import DynamicInputLayer, DynamicOutputLayer
 from eovax.nn.dynamic_conv import DynamicConv, DynamicConvDecoder
 from eovax.nn.latent import LatentBatchNorm, patch_shuffle, patch_unshuffle
 
@@ -61,10 +62,19 @@ class Encoder(nn.Module):
         Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
 
         if cfg.use_dynamic_ops:
-            self.conv_in = DynamicConv(
-                embed_dim=cfg.ch, stride=1, padding=1, policy=p,
-                **_stem_kwargs(cfg.stem),
-            )
+            if cfg.stem.mode == "basis":
+                # Shared-basis recipe (configs/finetune_consistency_bases.yaml;
+                # crashes upstream — see StemConfig docstring).
+                self.conv_in = DynamicInputLayer(
+                    out_channels=cfg.ch, num_bases=cfg.stem.num_bases,
+                    rank_dim=cfg.stem.rank_dim, kernel_size=cfg.stem.kernel_size,
+                    policy=p,
+                )
+            else:
+                self.conv_in = DynamicConv(
+                    embed_dim=cfg.ch, stride=1, padding=1, policy=p,
+                    **_stem_kwargs(cfg.stem),
+                )
         else:
             self.conv_in = nn.Conv(
                 cfg.ch, (3, 3), padding=((1, 1), (1, 1)), precision=p.precision,
@@ -181,10 +191,17 @@ class Decoder(nn.Module):
 
         self.norm_out = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=p.norm_dtype)
         if cfg.use_dynamic_ops:
-            self.conv_out = DynamicConvDecoder(
-                embed_dim=block_in, stride=1, padding=1, policy=p,
-                **_stem_kwargs(cfg.stem),
-            )
+            if cfg.stem.mode == "basis":
+                self.conv_out = DynamicOutputLayer(
+                    in_channels=block_in, num_bases=cfg.stem.num_bases,
+                    rank_dim=cfg.stem.rank_dim, kernel_size=cfg.stem.kernel_size,
+                    policy=p,
+                )
+            else:
+                self.conv_out = DynamicConvDecoder(
+                    embed_dim=block_in, stride=1, padding=1, policy=p,
+                    **_stem_kwargs(cfg.stem),
+                )
         else:
             self.conv_out = nn.Conv(cfg.out_ch, (3, 3), padding=((1, 1), (1, 1)), **conv_kw)
 

@@ -48,6 +48,30 @@ class VPSchedule:
         return jnp.sin(0.5 * jnp.pi * t)
 
 
+@dataclasses.dataclass(frozen=True)
+class DecaySchedule:
+    """Variance-exploding schedule with geometrically decaying noise level:
+    alpha = 1, sigma(t) = sigma_min^(1−t) · sigma_max^t (EDM's log-linear
+    sigma ladder, Karras et al. 2022 §5).
+
+    Fills the role of ``azula.noise.DecaySchedule``
+    (configs_superres/eo_vae_latent_batch.yaml:44) — azula is a closed box
+    for the reference (SURVEY.md §7), so the schedule is re-derived from
+    its pairing with the Karras-preconditioned denoiser rather than
+    translated.
+    """
+
+    sigma_min: float = 1e-3
+    sigma_max: float = 80.0
+
+    def alpha(self, t: jax.Array) -> jax.Array:
+        return jnp.ones_like(jnp.asarray(t, jnp.float32))
+
+    def sigma(self, t: jax.Array) -> jax.Array:
+        t = jnp.asarray(t, jnp.float32)
+        return self.sigma_min ** (1.0 - t) * self.sigma_max**t
+
+
 # ---------------------------------------------------------------------------
 # Denoisers
 # ---------------------------------------------------------------------------

@@ -50,6 +50,7 @@ class DiffusionSuperRes:
     mesh: Any = None
     log_every: int = 20
     logger: Any = None
+    image_logger: Any = None  # utils.image_logger.SuperResImageLogger
     seed: int = 0
 
     def __post_init__(self):
@@ -149,6 +150,18 @@ class DiffusionSuperRes:
             sharded = shard_batch(
                 {"hr": batch["image_hr"], "lr": batch["image_lr"]}, self.mesh
             )
+            if i == 0 and self.image_logger is not None:
+                # LR | prediction | HR grid on val batch 0 (reference
+                # super_res_image_logger.py:18-31).
+                pred = self.sample(
+                    state, sharded["hr"].shape, sharded["lr"], seed=self.seed
+                )
+                self.image_logger.log(
+                    np.asarray(jax.device_get(sharded["lr"])),
+                    np.asarray(jax.device_get(pred)),
+                    np.asarray(jax.device_get(sharded["hr"])),
+                    step=int(state.step),
+                )
             mses.append(float(self._val_step(state, sharded["hr"], sharded["lr"], k)))
         result = {"val_mse": float(np.mean(mses))} if mses else {}
         if self.logger is not None and result:

@@ -341,6 +341,9 @@ class Stage2Trainer:
     log_every: int = 100
     logger: Any = None
     discriminator: Any = None  # flax module; required for adversarial losses
+    seed_disc_stem: bool = False  # copy encoder conv_in → disc dynamic_input
+    image_logger: Any = None  # utils.image_logger.ImageLogger (val batch 0)
+    norm_scheme: str = "legacy"  # display denormalization for image grids
     accumulate_steps: int = 1
     seed: int = 0
 
@@ -391,6 +394,15 @@ class Stage2Trainer:
             disc_params = self.discriminator.init(
                 jax.random.PRNGKey(self.seed + 1), dummy, dummy_wvs
             )
+            if self.seed_disc_stem:
+                # The reference injects the encoder's dynamic conv_in as the
+                # discriminator input stem (train.py:109-117); we copy its
+                # parameters into the owned stem.
+                disc_p = dict(disc_params["params"])
+                disc_p["dynamic_input"] = jax.tree_util.tree_map(
+                    jnp.copy, params["encoder"]["conv_in"]
+                )
+                disc_params = {**disc_params, "params": disc_p}
             disc_opt_state = self.disc_tx.init(disc_params["params"])
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -417,6 +429,21 @@ class Stage2Trainer:
                 fn = jax.jit(fn_raw, donate_argnums=(0,))
             elif kind == "disc":
                 fn = jax.jit(self._disc_step, donate_argnums=(0,))
+            elif kind == "recon":
+                core = self.model.core
+
+                def recon_raw(state, image, wvs):
+                    variables = {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                    }
+                    recon, _ = core.apply(
+                        variables, image, wvs, sample_posterior=False,
+                        method=EOVAECore.forward,
+                    )
+                    return recon
+
+                fn = jax.jit(recon_raw)
             else:
                 fn = jax.jit(self._eval_step)
             self._jit_cache[key] = fn
@@ -493,6 +520,17 @@ class Stage2Trainer:
             sharded = shard_batch(
                 {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
             )
+            if i == 0 and self.image_logger is not None:
+                # Reconstruction grid on val batch 0 (reference ImageLogger
+                # callback, train.py:151-154 / image_logger.py:183-284).
+                recon = self._jitted("recon")(state, sharded["image"], sharded["wvs"])
+                self.image_logger.log(
+                    np.asarray(jax.device_get(sharded["image"])),
+                    np.asarray(jax.device_get(recon)),
+                    modality=batch.get("modality", "S2RGB"),
+                    norm_scheme=self.norm_scheme,
+                    step=int(state.step),
+                )
             logs = fn(state, sharded["image"], sharded["wvs"], k)
             for name, v in logs.items():
                 agg.setdefault(name, []).append(float(v))

@@ -103,8 +103,17 @@ class SuperResImageLogger:
         os.makedirs(root, exist_ok=True)
         n = min(lr.shape[0], self.max_images)
 
+        # Nearest-upsample LR to the HR geometry so rows align (reference
+        # super_res_image_logger.py:85-90 uses mode='nearest').
+        if lr.shape[1:3] != hr.shape[1:3]:
+            ry = hr.shape[1] // lr.shape[1]
+            rx = hr.shape[2] // lr.shape[2]
+            lr = np.repeat(np.repeat(lr, max(ry, 1), axis=1), max(rx, 1), axis=2)
+
         def rgb(x):
             x = np.asarray(x[:n, ..., :3], np.float32)
+            if x.shape[-1] < 3:  # single-channel latents / SAR
+                x = np.repeat(x[..., :1], 3, axis=-1)
             return robust_to_uint8(x)
 
         grid = _grid([rgb(lr), rgb(pred), rgb(hr)])
