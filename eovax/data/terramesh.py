@@ -172,21 +172,34 @@ def iter_tar_samples(shard_path: str) -> Iterator[dict[str, Any]]:
 
 def iter_multi_tar_samples(shard_paths: list[str]) -> Iterator[dict[str, Any]]:
     """Merge per-modality tar shards by sample key: shard i contributes its
-    member under '{MOD}.zarr.zip'. Keys must align across the shards
-    (multi_tarfile_samples parity, terramesh.py:601-657)."""
+    member under '{MOD}.zarr.zip' (multi_tarfile_samples parity,
+    terramesh.py:601-657).
+
+    On a key mismatch (a modality shard missing a sample), lagging
+    iterators are advanced toward the max key — keys are stored sorted
+    within TerraMesh shards — skipping the incomplete samples with a
+    warning instead of abandoning the rest of the shard (the reference
+    raises and its warn_and_continue handler drops the whole shard)."""
     iters = [iter_tar_samples(p) for p in shard_paths]
     mods = [_modality_from_path(p) for p in shard_paths]
+    samples = [next(it, None) for it in iters]
     while True:
-        samples = []
-        for it in iters:
-            s = next(it, None)
-            if s is None:
-                return
-            samples.append(s)
-        keys = {s["__key__"] for s in samples}
-        if len(keys) != 1:
-            warnings.warn(f"Sample-key mismatch across modalities: {keys}")
+        if any(s is None for s in samples):
             return
+        keys = [s["__key__"] for s in samples]
+        if len(set(keys)) != 1:
+            target = max(keys)
+            warnings.warn(
+                f"Sample-key mismatch across modalities: {sorted(set(keys))} — "
+                f"resyncing to {target!r}"
+            )
+            for i, (it, s) in enumerate(zip(iters, samples)):
+                # Strictly advances at least one iterator (some key < max),
+                # so the loop always progresses or drains to None.
+                while s is not None and s["__key__"] < target:
+                    s = next(it, None)
+                samples[i] = s
+            continue
         merged: dict[str, Any] = {"__key__": samples[0]["__key__"]}
         for mod, s in zip(mods, samples):
             for ext, v in s.items():
@@ -194,6 +207,7 @@ def iter_multi_tar_samples(shard_paths: list[str]) -> Iterator[dict[str, Any]]:
                     continue
                 merged[f"{mod}.{ext}" if mod else ext] = v
         yield merged
+        samples = [next(it, None) for it in iters]
 
 
 def _modality_from_path(path: str) -> str | None:
@@ -329,6 +343,11 @@ def _random_mix(
         yield item
 
 
+#: Batch interleaving probabilities per TerraMesh subset
+#: (wds.RandomMix probs=[0.8, 0.2], terramesh.py:553-557).
+SUBSET_MIX_PROBS = {"majortom": 0.8, "ssl4eos12": 0.2}
+
+
 def build_terramesh_dataset(
     path: str,
     modalities: list[str] | str,
@@ -352,78 +371,117 @@ def build_terramesh_dataset(
     Single modality: batches carry 'image' [B,H,W,C]. Multi-modality:
     batches carry one [B,H,W,C] array per modality name (for the
     random-modality collate, eovax.data.collate).
+
+    When the shard list spans both TerraMesh subsets (no explicit
+    ``urls``), one batched stream is built per subset — with the subset's
+    unavailable S1 modality filtered (build_multimodal_dataset,
+    terramesh.py:499-513) — and **batches** are interleaved with probs
+    [majortom 0.8, ssl4eos12 0.2] (wds.RandomMix parity, 553-557; the
+    reference mixes batches, never samples, so subset batches stay pure).
     """
-    single = isinstance(modalities, str) or len(modalities) == 1
-    modality = modalities if isinstance(modalities, str) else modalities[0]
+    mods = [modalities] if isinstance(modalities, str) else list(modalities)
     rng = random.Random(seed if seed is not None else 17)
 
-    def sample_stream() -> Iterator[dict]:
-        while True:
-            if single:
+    def make_batched(source_urls: list[str], source_mods: list[str]) -> Iterator[dict]:
+        single = len(source_mods) == 1
+
+        def sample_stream() -> Iterator[dict]:
+            while True:
                 shards = split_shards(
-                    list(urls) if urls is not None
-                    else shard_urls(path, modality, split),
+                    list(source_urls),
                     process_index=process_index, process_count=process_count,
                 )
                 if shuffle:
                     rng.shuffle(shards)
-                streams = (iter_tar_samples(s) for s in shards)
-            else:
-                # Per-sample-key aligned shards across modalities: same shard
-                # filename under each modality directory.
-                ref_shards = split_shards(
-                    list(urls) if urls is not None
-                    else shard_urls(path, modalities[0], split),
-                    process_index=process_index, process_count=process_count,
-                )
-                if shuffle:
-                    rng.shuffle(ref_shards)
-                streams = (
-                    iter_multi_tar_samples(
-                        [s.replace(f"/{modalities[0]}/", f"/{m}/") for m in modalities]
-                    )
-                    for s in ref_shards
-                )
-
-            def decoded():
-                def _decode(raw):
-                    try:
-                        return decode_sample(raw, harmonize_s2l2a=harmonize_s2l2a)
-                    except Exception as e:  # warn_and_continue parity
-                        warnings.warn(f"Skipping corrupt sample: {e}")
-                        return None
-
-                if num_reader_threads <= 1:
-                    for stream in streams:
-                        for raw in stream:
-                            s = _decode(raw)
-                            if s is not None:
-                                yield s
+                if single:
+                    streams = (iter_tar_samples(s) for s in shards)
                 else:
-                    # Decode samples in a thread pool (native blosc +
-                    # zlib release the GIL) while the tar stream feeds it.
-                    from concurrent.futures import ThreadPoolExecutor
+                    # Per-sample-key aligned shards across modalities: same
+                    # shard filename under each modality directory.
+                    streams = (
+                        iter_multi_tar_samples(
+                            [
+                                s.replace(f"/{source_mods[0]}/", f"/{m}/")
+                                for m in source_mods
+                            ]
+                        )
+                        for s in shards
+                    )
 
-                    with ThreadPoolExecutor(num_reader_threads) as pool:
+                def decoded():
+                    def _decode(raw):
+                        try:
+                            return decode_sample(raw, harmonize_s2l2a=harmonize_s2l2a)
+                        except Exception as e:  # warn_and_continue parity
+                            warnings.warn(f"Skipping corrupt sample: {e}")
+                            return None
+
+                    if num_reader_threads <= 1:
                         for stream in streams:
-                            for s in pool.map(_decode, stream, chunksize=1):
+                            for raw in stream:
+                                s = _decode(raw)
                                 if s is not None:
                                     yield s
+                    else:
+                        # Decode samples in a thread pool (native blosc +
+                        # zlib release the GIL) while the tar stream feeds it.
+                        from concurrent.futures import ThreadPoolExecutor
 
-            it = decoded()
-            if shuffle:
-                it = _shuffled(it, shuffle_buffer, rng)
-            yield from it
-            if not repeat:
-                return
+                        with ThreadPoolExecutor(num_reader_threads) as pool:
+                            for stream in streams:
+                                for s in pool.map(_decode, stream, chunksize=1):
+                                    if s is not None:
+                                        yield s
 
-    def batched_stream():
+                it = decoded()
+                if shuffle:
+                    it = _shuffled(it, shuffle_buffer, rng)
+                yield from it
+                if not repeat:
+                    return
+
         it = sample_stream()
         if batch_size is not None:
             it = _batched(it, batch_size, partial)
         return it
 
-    return _prefetch(batched_stream, prefetch_depth)
+    if urls is not None:
+        return _prefetch(lambda: make_batched(list(urls), mods), prefetch_depth)
+
+    # Subset resolution (shard_urls semantics): S1GRD only in ssl4eos12,
+    # S1RTC only in majortom; everything else spans both.
+    if mods == ["S1GRD"]:
+        subsets = ("ssl4eos12",)
+    elif mods == ["S1RTC"]:
+        subsets = ("majortom",)
+    else:
+        subsets = ("majortom", "ssl4eos12")
+
+    sources: list[tuple[list[str], list[str]]] = []
+    probs: list[float] = []
+    for subset in subsets:
+        missing = "S1GRD" if subset == "majortom" else "S1RTC"
+        smods = [m for m in mods if m != missing]
+        if not smods:
+            continue
+        surls = [
+            os.path.join(path, split, smods[0], g)
+            for f in SPLIT_FILES[subset][split]
+            for g in expand_braces(f)
+        ]
+        sources.append((surls, smods))
+        probs.append(SUBSET_MIX_PROBS[subset])
+
+    if len(sources) == 1:
+        (surls, smods), = sources
+        return _prefetch(lambda: make_batched(surls, smods), prefetch_depth)
+
+    return _prefetch(
+        lambda: _random_mix(
+            [make_batched(u, m) for u, m in sources], probs, rng
+        ),
+        prefetch_depth,
+    )
 
 
 class TerraMeshPipeline:

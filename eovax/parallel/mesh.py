@@ -85,13 +85,33 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
 
 
 def global_batch_from_local(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
-    """Multi-host: assemble per-process local batches into global arrays."""
+    """Multi-host: assemble per-process local batches into global arrays.
+
+    Image-like leaves (ndim ≥ 2) are treated as this process's slice of the
+    global batch (the data pipeline shards tar shards per host, so each
+    host's batch is already its local portion); small vectors/scalars (the
+    shared ``wvs``) are replicated — every process passes the same value.
+    """
     data_sh = batch_sharding(mesh, axis)
+    repl_sh = replicated_sharding(mesh)
 
     def place(x):
         x = np.asarray(x)
-        if x.ndim >= 1:
+        if x.ndim >= 2:
             return jax.make_array_from_process_local_data(data_sh, x)
-        return jax.device_put(x, replicated_sharding(mesh))
+        return jax.make_array_from_process_local_data(repl_sh, x)
 
     return jax.tree_util.tree_map(place, batch)
+
+
+def place_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
+    """Put a host batch onto the mesh, multi-host aware.
+
+    Single process: shard the full batch across local devices
+    (:func:`shard_batch`). Multi-process (jax.distributed initialized):
+    each host contributes its per-host batch as the local shard of a
+    global array (:func:`global_batch_from_local`) — the reference's
+    ``wds.split_by_node`` + DDP feeding (terramesh.py:384-385)."""
+    if jax.process_count() > 1:
+        return global_batch_from_local(batch, mesh, axis)
+    return shard_batch(batch, mesh, axis)

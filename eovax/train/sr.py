@@ -19,7 +19,7 @@ import numpy as np
 import optax
 
 from eovax.models.sr_diffusion import DDIMSampler
-from eovax.parallel.mesh import make_mesh, replicate, shard_batch
+from eovax.parallel.mesh import make_mesh, place_batch, replicate
 from eovax.train.schedule import SR_STEPS_PER_EPOCH, cosine_warmup_schedule
 
 
@@ -126,7 +126,7 @@ class DiffusionSuperRes:
             if i >= max_steps:
                 break
             self._key, k = jax.random.split(self._key)
-            sharded = shard_batch(
+            sharded = place_batch(
                 {"hr": batch["image_hr"], "lr": batch["image_lr"]}, self.mesh
             )
             state, logs = self._train_step(state, sharded["hr"], sharded["lr"], k)
@@ -147,7 +147,7 @@ class DiffusionSuperRes:
             if i >= max_batches:
                 break
             self._key, k = jax.random.split(self._key)
-            sharded = shard_batch(
+            sharded = place_batch(
                 {"hr": batch["image_hr"], "lr": batch["image_lr"]}, self.mesh
             )
             if i == 0 and self.image_logger is not None:

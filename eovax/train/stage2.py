@@ -39,7 +39,7 @@ import optax
 
 from eovax.core.config import VAEConfig
 from eovax.models.backbone import EOVAECore
-from eovax.parallel.mesh import make_mesh, replicate, shard_batch
+from eovax.parallel.mesh import make_mesh, place_batch, replicate
 from eovax.train.schedule import STAGE2_STEPS_PER_EPOCH, cosine_warmup_schedule
 from eovax.utils.resize import resize_nhwc
 
@@ -479,7 +479,7 @@ class Stage2Trainer:
                 break
             scale, angle = self._roll_mode()
             self._key, step_key = jax.random.split(self._key)
-            sharded = shard_batch(
+            sharded = place_batch(
                 {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
             )
             fn = self._jitted("train", scale, angle)
@@ -517,7 +517,7 @@ class Stage2Trainer:
             if i >= max_batches:
                 break
             self._key, k = jax.random.split(self._key)
-            sharded = shard_batch(
+            sharded = place_batch(
                 {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
             )
             if i == 0 and self.image_logger is not None:

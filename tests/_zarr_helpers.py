@@ -173,11 +173,17 @@ def write_terramesh_shard(
     *,
     compressor: str = "lz4",
     key_prefix: str = "sample",
+    keys: list[str] | None = None,
 ) -> None:
     """Write a TerraMesh-like tar shard: one '{key}.zarr.zip' member per
-    sample with 'bands' [1,C,H,W] and 'time' arrays."""
+    sample with 'bands' [1,C,H,W] and 'time' arrays. Explicit ``keys``
+    override the sequential naming (for key-misalignment tests)."""
     with tarfile.open(path, "w") as tf:
         for i, s in enumerate(samples):
+            if keys is not None:
+                key_name = keys[i]
+            else:
+                key_name = f"{key_prefix}_{i:04d}"
             arrays = {
                 "bands": np.asarray(s["bands"]),
                 "time": np.asarray([s.get("time", 0)], dtype="<i8"),
@@ -185,6 +191,6 @@ def write_terramesh_shard(
                 "center_lat": np.asarray([0.0], "<f8"),
             }
             blob = write_zarr_zip(arrays, compressor)
-            info = tarfile.TarInfo(name=f"{key_prefix}_{i:04d}.zarr.zip")
+            info = tarfile.TarInfo(name=f"{key_name}.zarr.zip")
             info.size = len(blob)
             tf.addfile(info, io.BytesIO(blob))

@@ -159,3 +159,90 @@ def test_pipeline_with_collate(shard_dir):
     np.testing.assert_allclose(batch["wvs"], [0.665, 0.56, 0.49], rtol=1e-6)
     # z-scored around 0 given synthetic stats near the legacy mean scale
     assert abs(float(batch["image"].mean())) < 3.0
+
+
+def test_multimodal_resync_on_missing_sample(tmp_path):
+    """A modality shard missing one sample key skips that sample and
+    continues (reference drops the whole shard via warn_and_continue)."""
+    import warnings as _warnings
+
+    from eovax.data.terramesh import iter_multi_tar_samples
+
+    g = np.random.default_rng(0)
+    roots = {}
+    keys_a = ["sample_0000", "sample_0001", "sample_0002", "sample_0003"]
+    keys_b = ["sample_0000", "sample_0002", "sample_0003"]  # 0001 missing
+    for mod, keys in (("S2RGB", keys_a), ("S1RTC", keys_b)):
+        d = tmp_path / "val" / mod
+        d.mkdir(parents=True)
+        c = 3 if mod == "S2RGB" else 2
+        samples = [
+            {"bands": g.normal(0, 1, (1, c, 8, 8)).astype("<f4"), "time": 0}
+            for _ in keys
+        ]
+        write_terramesh_shard(str(d / "shard_000001.tar"), samples, keys=keys)
+        roots[mod] = str(d / "shard_000001.tar")
+
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        merged = list(iter_multi_tar_samples([roots["S2RGB"], roots["S1RTC"]]))
+    assert [s["__key__"] for s in merged] == ["sample_0000", "sample_0002", "sample_0003"]
+    assert any("resyncing" in str(x.message) for x in w)
+
+
+@pytest.fixture(scope="module")
+def mixed_root(tmp_path_factory):
+    """Both TerraMesh subsets present: majortom bands ≈ +100, ssl4eos12
+    bands ≈ −100 so batch provenance is readable from the sign."""
+    root = tmp_path_factory.mktemp("terramesh_mix")
+    d = root / "val" / "S2RGB"
+    d.mkdir(parents=True)
+    g = np.random.default_rng(7)
+
+    def shard(path, value):
+        samples = [
+            {"bands": (value + g.normal(0, 1, (1, 3, 8, 8))).astype("<f4"), "time": 0}
+            for _ in range(4)
+        ]
+        write_terramesh_shard(str(path), samples)
+
+    for i in range(1, 9):  # SPLIT_FILES majortom val: {000001..000008}
+        shard(d / f"majortom_shard_{i:06d}.tar", +100.0)
+    shard(d / "ssl4eos12_shard_000009.tar", -100.0)  # ssl4eos12 val
+    return str(root)
+
+
+def test_subset_batch_mix_ratio(mixed_root):
+    """Batches interleave majortom/ssl4eos12 at ~0.8/0.2 and stay
+    subset-pure (wds.RandomMix parity, terramesh.py:553-557)."""
+    from eovax.data.terramesh import build_terramesh_dataset
+
+    it = build_terramesh_dataset(
+        mixed_root, "S2RGB", "val", batch_size=2, repeat=True, seed=3,
+    )
+    n = 200
+    majortom = 0
+    for _ in range(n):
+        batch = next(it)
+        means = batch["image"].mean(axis=(1, 2, 3))
+        # Subset-pure batch: all samples share the provenance sign.
+        assert (means > 0).all() or (means < 0).all()
+        majortom += int(means[0] > 0)
+    frac = majortom / n
+    assert 0.7 < frac < 0.9, frac
+
+
+def test_subset_mix_exhausts_both_sources(mixed_root):
+    """Without repeat, the mixed val stream yields every batch from both
+    subsets (RandomMix longest=True semantics for eval)."""
+    from eovax.data.terramesh import build_terramesh_dataset
+
+    batches = list(
+        build_terramesh_dataset(
+            mixed_root, "S2RGB", "val", batch_size=2, seed=0, partial=True,
+        )
+    )
+    total = sum(b["image"].shape[0] for b in batches)
+    assert total == 8 * 4 + 4  # 8 majortom shards ×4 samples + 1 ssl shard ×4
+    signs = {float(np.sign(b["image"].mean())) for b in batches}
+    assert signs == {1.0, -1.0}
