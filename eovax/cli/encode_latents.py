@@ -63,6 +63,36 @@ def encode_split(
     return count
 
 
+def reconstruction_check(
+    model, batch: dict, wvs: np.ndarray, save_dir: str,
+    *, max_images: int = 4,
+) -> tuple[str, float]:
+    """Pre-flight sanity check before a multi-hour bulk encode
+    (encode_latents.py:204-297): reconstruct the first HR batch, render an
+    input | reconstruction | error grid, and return the recon MSE so a
+    bad/mismatched checkpoint aborts early instead of silently producing
+    garbage latents."""
+    from eovax.utils.image_logger import _grid, _save_png, robust_to_uint8
+
+    hr = np.transpose(np.asarray(batch["image_hr"]), (0, 3, 1, 2))[:max_images]
+    recon = np.asarray(model.reconstruct(hr, wvs))
+    mse = float(np.mean((recon - hr) ** 2))
+
+    def rgb(x_nchw):
+        x = np.transpose(x_nchw, (0, 2, 3, 1))[..., :3].astype(np.float32)
+        return robust_to_uint8(np.nan_to_num(x, posinf=0.0, neginf=0.0))
+
+    diff = np.abs(recon - hr).mean(axis=1, keepdims=True)
+    diff = np.repeat(np.transpose(diff, (0, 2, 3, 1)), 3, axis=-1)
+    diff = np.nan_to_num(
+        diff / (diff.max() + 1e-8) * 255.0, posinf=255.0
+    ).astype(np.uint8)
+    grid = _grid([rgb(hr), rgb(recon), diff])
+    path = os.path.join(save_dir, "reconstruction_check.png")
+    _save_png(grid, path)
+    return path, mse
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Bulk-encode Sen2NAIP latents")
     parser.add_argument("--config", required=True)
@@ -72,6 +102,15 @@ def main(argv=None) -> None:
     parser.add_argument("--use-spatial-norm", action="store_true")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    parser.add_argument(
+        "--max-recon-mse", type=float, default=None,
+        help="abort the bulk encode if the pre-flight reconstruction MSE "
+        "exceeds this (non-finite MSE always aborts)",
+    )
+    parser.add_argument(
+        "--skip-recon-check", action="store_true",
+        help="skip the pre-flight reconstruction figure/gate",
+    )
     args = parser.parse_args(argv)
 
     enable_compile_cache()
@@ -97,6 +136,26 @@ def main(argv=None) -> None:
             yield sen2naip_collate(samples)
 
     os.makedirs(args.save_dir, exist_ok=True)
+
+    if not args.skip_recon_check:
+        first_batch = next(batches_for(args.splits[0]), None)
+        if first_batch is not None:
+            path, mse = reconstruction_check(
+                model, first_batch, SEN2NAIP_WVS, args.save_dir
+            )
+            print(f"Reconstruction check: MSE={mse:.6g} → {path}")
+            if not np.isfinite(mse):
+                raise SystemExit(
+                    f"ABORT: non-finite reconstruction MSE ({mse}) — the "
+                    "checkpoint/config pair is broken; inspect "
+                    f"{path} before bulk encoding."
+                )
+            if args.max_recon_mse is not None and mse > args.max_recon_mse:
+                raise SystemExit(
+                    f"ABORT: reconstruction MSE {mse:.6g} exceeds "
+                    f"--max-recon-mse {args.max_recon_mse} — inspect {path}."
+                )
+
     total = 0
     for split in args.splits:
         n = encode_split(

@@ -27,6 +27,11 @@ def main(argv=None) -> None:
     parser.add_argument("--distilled-ckpt", default=None)
     parser.add_argument("--flux-ckpt", default=None)
     parser.add_argument("--ckpt", default=None, help="full checkpoint to resume from")
+    parser.add_argument(
+        "--resume-dir", default=None,
+        help="existing experiment dir: reuse it and auto-resume from its "
+        "latest orbax checkpoint (preemption recovery)",
+    )
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--synthetic-data", action="store_true")
@@ -76,9 +81,13 @@ def main(argv=None) -> None:
     image_logger = None
     if not args.debug:
         exp = raw_cfg.get("experiment", {})
-        exp_dir = create_experiment_dir(
-            exp.get("exp_dir", "results/exps"), exp.get("experiment_name", "eo-vae")
-        )
+        if args.resume_dir:
+            exp_dir = args.resume_dir
+            os.makedirs(exp_dir, exist_ok=True)
+        else:
+            exp_dir = create_experiment_dir(
+                exp.get("exp_dir", "results/exps"), exp.get("experiment_name", "eo-vae")
+            )
         snapshot_config(args.config, exp_dir)
         logger = CSVLogger(exp_dir)
         from eovax.utils.image_logger import ImageLogger

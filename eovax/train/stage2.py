@@ -471,6 +471,13 @@ class Stage2Trainer:
         val_iter_factory: Callable[[], Iterator[dict]] | None = None,
         state: TrainState | None = None,
     ) -> TrainState:
+        if state is None and self.ckpt_dir:
+            # Auto-resume from the latest saved step (preemption recovery;
+            # the reference's ModelCheckpoint(save_last=True) + manual
+            # --ckpt flow, train.py:155-162).
+            state = self.restore_checkpoint()
+            if state is not None:
+                print(f"[stage2] resumed from checkpoint at step {int(state.step)}")
         state = state if state is not None else self.init_state()
         t0 = time.time()
         global_step = int(state.step)  # resume-aware host-side counter
@@ -508,6 +515,7 @@ class Stage2Trainer:
                 self.validate(state, val_iter_factory())
         if self.ckpt_dir:
             self.save_checkpoint(state)
+            self._checkpointer.wait()  # flush pending async writes
         return state
 
     def validate(self, state: TrainState, val_iter: Iterator[dict], max_batches: int = 100):
@@ -541,16 +549,26 @@ class Stage2Trainer:
 
     # -- io ----------------------------------------------------------------------
 
+    @property
+    def _checkpointer(self):
+        if getattr(self, "_ckptr", None) is None:
+            from eovax.utils.checkpoint import TrainCheckpointer
+
+            self._ckptr = TrainCheckpointer(self.ckpt_dir)
+        return self._ckptr
+
     def save_checkpoint(self, state: TrainState):
-        from eovax.utils.checkpoint import save_orbax
+        """Async step-managed save: blocks only for the device→host copy;
+        disk persistence overlaps the next train steps."""
+        self._checkpointer.save(int(state.step), state)
 
-        save_orbax(self.ckpt_dir, jax.device_get(state))
-
-    def restore_checkpoint(self) -> TrainState:
-        from eovax.utils.checkpoint import load_orbax
-
+    def restore_checkpoint(self) -> TrainState | None:
+        """Restore the latest saved step (None if the dir is empty)."""
         template = jax.device_get(self.init_state())
-        return replicate(load_orbax(self.ckpt_dir, template), self.mesh)
+        restored = self._checkpointer.restore_latest(template)
+        if restored is None:
+            return None
+        return replicate(restored, self.mesh)
 
     def _log(self, step: int, logs: dict, t0: float):
         scalars = {k: float(v) for k, v in logs.items()}

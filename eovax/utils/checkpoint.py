@@ -3,10 +3,12 @@
 Two formats:
 - **msgpack** single-file artifacts (flax serialization) for model
   publishing — the TPU-native analogue of the reference's ``.ckpt``.
-- **orbax** directories for training state (async save, auto-restore on
-  preemption) — the idiomatic replacement for Lightning's
+- **orbax** for training state: ``TrainCheckpointer`` wraps a
+  CheckpointManager with async persistence + keep-last-K +
+  restore-latest — the idiomatic replacement for Lightning's
   ``ModelCheckpoint(save_last=True)`` resume flow
-  (/root/reference/train.py:155-162, SURVEY.md §5).
+  (/root/reference/train.py:155-162, SURVEY.md §5); ``save_orbax`` /
+  ``load_orbax`` remain for single-shot snapshots.
 """
 
 from __future__ import annotations
@@ -39,6 +41,57 @@ def save_orbax(path: str, state: Any) -> None:
 
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def _abstract_like(template: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape")
+        else x,
+        template,
+    )
+
+
+class TrainCheckpointer:
+    """Step-managed async training checkpoints (orbax CheckpointManager).
+
+    Replaces the round-1 synchronous StandardCheckpointer flow: ``save``
+    snapshots device arrays to host and persists in a background thread
+    (the step loop is only blocked for the device→host copy), keeps the
+    last ``max_to_keep`` steps, and ``restore_latest`` implements the
+    auto-resume the reference gets from ModelCheckpoint(save_last=True)
+    (/root/reference/train.py:155-162, SURVEY.md §5)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 2):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(int(step), args=self._ocp.args.StandardSave(state))
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore_latest(self, template: Any) -> Any | None:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(
+            step, args=self._ocp.args.StandardRestore(_abstract_like(template))
+        )
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
 
 
 def load_orbax(path: str, template: Any) -> Any:
