@@ -105,13 +105,86 @@ def sr_metrics_table(results: list[dict], fmt: str = "text") -> str:
     return "\n".join(lines)
 
 
+def combine_modality_results(results_dir: str, modalities: list[str] | None = None) -> dict:
+    """Merge per-modality tokenizer metrics (``metrics_{MOD}.json``, each
+    mapping model → metrics) into model → modality → metrics
+    (generate_combined_results.py:6-40)."""
+    modalities = modalities or ["S2L2A", "S2L1C", "S1RTC", "S2RGB"]
+    per_mod: dict[str, dict] = {}
+    for mod in modalities:
+        path = os.path.join(results_dir, f"metrics_{mod}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                per_mod[mod] = json.load(f)
+        else:
+            print(f"Warning: {path} not found, skipping {mod}")
+    combined: dict[str, dict] = {}
+    for mod, model_results in per_mod.items():
+        for model, metrics in model_results.items():
+            combined.setdefault(model, {})[mod] = metrics
+    return {m: combined[m] for m in sorted(combined)}
+
+
+def combined_table(combined: dict, fmt: str = "text") -> str:
+    """Model × modality metric grid (generate_combined_results.py:42-249:
+    one column group per modality, mse/mae cells)."""
+    modalities = sorted({m for md in combined.values() for m in md})
+    metric_keys: list[str] = []
+    for md in combined.values():
+        for metrics in md.values():
+            for k in metrics:
+                if k not in metric_keys:
+                    metric_keys.append(k)
+    cols = ["model"] + [f"{mod}:{k}" for mod in modalities for k in metric_keys]
+    rows = []
+    for model, md in combined.items():
+        row = {"model": model}
+        for mod in modalities:
+            for k in metric_keys:
+                v = (md.get(mod) or {}).get(k)
+                row[f"{mod}:{k}"] = round(v, 5) if isinstance(v, float) else v
+        rows.append(row)
+    if fmt == "latex":
+        lines = ["\\begin{tabular}{" + "l" + "r" * (len(cols) - 1) + "}",
+                 "\\toprule", " & ".join(cols) + " \\\\", "\\midrule"]
+        for row in rows:
+            lines.append(
+                " & ".join("-" if row[c] is None else str(row[c]) for c in cols)
+                + " \\\\"
+            )
+        lines += ["\\bottomrule", "\\end{tabular}"]
+        return "\n".join(lines)
+    widths = {c: max(len(c), *(len(str(r[c])) for r in rows)) for c in cols}
+    lines = ["  ".join(c.ljust(widths[c]) for c in cols)]
+    lines.append("  ".join("-" * widths[c] for c in cols))
+    for row in rows:
+        lines.append(
+            "  ".join(str("-" if row[c] is None else row[c]).ljust(widths[c]) for c in cols)
+        )
+    return "\n".join(lines)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Render result tables")
-    parser.add_argument("patterns", nargs="+")
+    parser.add_argument("patterns", nargs="+",
+                        help="result-json globs, or a results dir for --kind combined")
     parser.add_argument("--format", choices=["text", "latex"], default="text")
     parser.add_argument("--baseline", default=None)
-    parser.add_argument("--kind", choices=["benchmark", "sr"], default="benchmark")
+    parser.add_argument("--kind", choices=["benchmark", "sr", "combined"],
+                        default="benchmark")
     args = parser.parse_args(argv)
+
+    if args.kind == "combined":
+        results_dir = args.patterns[0]
+        combined = combine_modality_results(results_dir)
+        if not combined:
+            raise SystemExit("No metrics_{MODALITY}.json files found")
+        out = os.path.join(results_dir, "combined_results.json")
+        with open(out, "w") as f:
+            json.dump(combined, f, indent=4)
+        print(combined_table(combined, args.format))
+        print(f"\nWrote {out}")
+        return
 
     results = load_results(args.patterns)
     if not results:
