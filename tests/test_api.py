@@ -78,6 +78,7 @@ def test_interpolation_eval_resolver(tmp_path):
     assert cfg["c"] == 4
 
 
+@pytest.mark.slow
 def test_wrapper_nchw_contract(config_path):
     model = EOFluxVAE.from_config(config_path)
     g = np.random.default_rng(0)
@@ -124,6 +125,7 @@ def test_native_checkpoint_roundtrip(config_path, tmp_path):
     np.testing.assert_allclose(np.asarray(model2.reconstruct(x, WVS)), ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_param_count_full_config():
     """Shipped config must hit the reference's measured parameter counts:
     encoder 40,176,128 / decoder 55,338,017 ≈ 95.5M (BASELINE.md)."""

@@ -27,6 +27,7 @@ CFG = VAEConfig(
 )
 
 
+@pytest.mark.slow
 def test_train_checkpointer_async_roundtrip(tmp_path):
     state = {"step": np.int32(1), "w": np.arange(8, dtype=np.float32)}
     ckptr = TrainCheckpointer(str(tmp_path), max_to_keep=2)
@@ -47,6 +48,7 @@ def test_train_checkpointer_async_roundtrip(tmp_path):
     ckptr.close()
 
 
+@pytest.mark.slow
 def test_stage2_auto_resume(tmp_path, capsys):
     from eovax.data.synthetic import synthetic_terramesh_batches
     from eovax.train.stage2 import Stage2Trainer

@@ -162,6 +162,7 @@ model:
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_train_cli_synthetic(tmp_path):
     from eovax.cli.train import main as train_main
 

@@ -64,6 +64,7 @@ def test_gan_objectives_parity():
 
 
 @pytest.mark.parametrize("channels", [2, 12])
+@pytest.mark.slow
 def test_dynamic_patchgan_shapes(channels):
     disc = DynamicPatchGAN(ndf=32, n_layers=3, wv_planes=64)
     x = jnp.zeros((2, 32, 32, channels))
@@ -85,6 +86,7 @@ def test_nlayer_discriminator_shapes():
     assert logits.shape[0] == 2 and logits.shape[-1] == 1
 
 
+@pytest.mark.slow
 def test_adversarial_training_step_runs():
     """Full gen+disc alternation with adaptive kernel-space weighting."""
     from eovax.data.synthetic import synthetic_terramesh_batches

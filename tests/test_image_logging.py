@@ -7,6 +7,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig
 from eovax.core.precision import FULL_PRECISION
@@ -30,6 +31,7 @@ CFG = VAEConfig(
 )
 
 
+@pytest.mark.slow
 def test_stage2_validate_writes_recon_grid(tmp_path):
     from eovax.data.synthetic import synthetic_terramesh_batches
     from eovax.train.stage2 import Stage2Trainer
@@ -54,6 +56,7 @@ def test_stage2_validate_writes_recon_grid(tmp_path):
     assert "S2RGB" in os.path.basename(pngs[0])
 
 
+@pytest.mark.slow
 def test_sr_validate_writes_lr_pred_hr_grid(tmp_path):
     from eovax.train.sr import DiffusionSuperRes
 

@@ -51,6 +51,7 @@ def test_flux_autoencoder_distill_mode(tmp_path):
     assert model.reconstruct(x, WVS).shape == (1, 3, 32, 32)
 
 
+@pytest.mark.slow
 def test_flux_autoencoder_flow_refine_mode():
     from eovax.data.synthetic import synthetic_terramesh_batches
     from eovax.models.flux_autoencoder import FluxAutoencoderKL

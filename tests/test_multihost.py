@@ -5,6 +5,7 @@ multi-process splits are structurally identical per the JAX contract)."""
 
 import jax
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from eovax.parallel.mesh import (
@@ -68,6 +69,7 @@ def test_place_batch_multiprocess_route(monkeypatch):
     assert out["image"].sharding.spec == P(DATA_AXIS)
 
 
+@pytest.mark.slow
 def test_trainer_step_runs_through_multiprocess_path(monkeypatch):
     """One stage-2 train step with the multi-host feed path forced on
     (single process, so local == global) — the full step must compile and

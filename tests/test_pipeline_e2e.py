@@ -14,6 +14,8 @@ import pytest
 from eovax import EOFluxVAE
 from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig
 
+pytestmark = pytest.mark.slow  # Full 3-stage pipeline run.
+
 STEM = StemConfig(num_layers=1, wv_planes=64)
 CFG = VAEConfig(
     encoder=EncoderConfig(resolution=32, in_channels=4, ch=32, ch_mult=(1, 2),

