@@ -34,32 +34,68 @@ def encode_split(
     stats_hr,
     use_spatial_norm: bool,
     split_name: str = "",
+    compress: bool = True,
 ) -> int:
     """Encode one split: device encode → stats update → npz per AOI
-    (encode_latents.py:305-352). Latents stored CHW (reference schema)."""
+    (encode_latents.py:305-352). Latents stored CHW (reference schema).
+
+    Double-buffered: batch i+1's encode is dispatched to the device before
+    batch i's results are fetched, so host-side collate/compress overlaps
+    device compute; the zlib-bound npz writes run in an IO thread pool.
+    ``compress=False`` writes plain .npz (np.load reads both) for hosts
+    where single-core DEFLATE dominates the pipeline.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    savez = np.savez_compressed if compress else np.savez
     os.makedirs(output_dir, exist_ok=True)
     count = 0
-    for batch in batches:
+
+    def dispatch(batch):
         # Batches arrive NHWC from the collates; the public API is NCHW.
         lr = np.transpose(np.asarray(batch["image_lr"]), (0, 3, 1, 2))
         hr = np.transpose(np.asarray(batch["image_hr"]), (0, 3, 1, 2))
         if use_spatial_norm:
-            z_lr = np.asarray(model.encode_spatial_normalized(lr, wvs))
-            z_hr = np.asarray(model.encode_spatial_normalized(hr, wvs))
+            z_lr = model.encode_spatial_normalized(lr, wvs)
+            z_hr = model.encode_spatial_normalized(hr, wvs)
         else:  # encoder-mean only (encode_latents.py:138-157)
-            z_lr = np.asarray(model.encode(lr, wvs).mode())
-            z_hr = np.asarray(model.encode(hr, wvs).mode())
-        stats_lr(np.transpose(z_lr, (0, 2, 3, 1)))
-        stats_hr(np.transpose(z_hr, (0, 2, 3, 1)))
-        for i, aoi in enumerate(batch["aoi"]):
-            np.savez_compressed(
-                os.path.join(output_dir, f"{aoi}.npz"),
-                lr_latent=z_lr[i],
-                hr_latent=z_hr[i],
-                lr_image=lr[i],
-                hr_image=hr[i],
-            )
-            count += 1
+            z_lr = model.encode(lr, wvs).mode()
+            z_hr = model.encode(hr, wvs).mode()
+        return z_lr, z_hr, lr, hr, batch["aoi"]
+
+    with ThreadPoolExecutor(2) as io_pool:
+        save_futures = []
+
+        def finish(pending):
+            nonlocal count
+            z_lr_dev, z_hr_dev, lr, hr, aois = pending
+            z_lr = np.asarray(z_lr_dev)
+            z_hr = np.asarray(z_hr_dev)
+            stats_lr(np.transpose(z_lr, (0, 2, 3, 1)))
+            stats_hr(np.transpose(z_hr, (0, 2, 3, 1)))
+            for i, aoi in enumerate(aois):
+                save_futures.append(
+                    io_pool.submit(
+                        savez,
+                        os.path.join(output_dir, f"{aoi}.npz"),
+                        lr_latent=z_lr[i],
+                        hr_latent=z_hr[i],
+                        lr_image=lr[i],
+                        hr_image=hr[i],
+                    )
+                )
+                count += 1
+
+        pending = None
+        for batch in batches:
+            current = dispatch(batch)  # async device work for this batch
+            if pending is not None:
+                finish(pending)  # fetch previous while current computes
+            pending = current
+        if pending is not None:
+            finish(pending)
+        for f in save_futures:
+            f.result()
     return count
 
 
@@ -110,6 +146,11 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--skip-recon-check", action="store_true",
         help="skip the pre-flight reconstruction figure/gate",
+    )
+    parser.add_argument(
+        "--no-compress", action="store_true",
+        help="write plain .npz (skip DEFLATE) — for hosts where single-core "
+        "compression bottlenecks the encode pipeline",
     )
     args = parser.parse_args(argv)
 
@@ -167,6 +208,7 @@ def main(argv=None) -> None:
             stats_hr=stats_hr,
             use_spatial_norm=args.use_spatial_norm,
             split_name=split,
+            compress=not args.no_compress,
         )
         print(f"Encoded {n} AOIs for split {split}")
         total += n
