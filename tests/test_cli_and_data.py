@@ -260,3 +260,50 @@ def test_inspect_terramesh_cli(tmp_path):
     assert len(reports) == 1
     info = reports[0]["zarr.zip"]["arrays"]["bands"]
     assert info["shape"] == [1, 3, 8, 8]
+
+
+def test_seasonet_datamodule_with_fake_torchgeo(monkeypatch):
+    """SeasoNet legacy path (datamodule.py parity): /3000 scaling, resize,
+    train flips, RGB band subset stats — exercised against a stub
+    torchgeo (the real one isn't in the TPU image)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from eovax.data.seasonet import (
+        SEASONET_MEANS,
+        SEASONET_STDS,
+        make_seasonet_datamodule,
+        seasonet_stats,
+    )
+
+    m, s = seasonet_stats(["10m_RGB"])
+    assert m.shape == (3,) and s.shape == (3,)
+    np.testing.assert_allclose(m, SEASONET_MEANS[:3])
+    m12, s12 = seasonet_stats()
+    assert m12.shape == (12,) and np.all(s12 == SEASONET_STDS)
+
+    class FakeSeasoNet:
+        def __init__(self, root, **kwargs):
+            self.g = np.random.default_rng(0)
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"image": self.g.normal(1500, 300, (12, 64, 64)).astype(np.float32)}
+
+    fake_ds_mod = types.ModuleType("torchgeo.datasets")
+    fake_ds_mod.SeasoNet = FakeSeasoNet
+    fake_tg = types.ModuleType("torchgeo")
+    fake_tg.datasets = fake_ds_mod
+    monkeypatch.setitem(sys.modules, "torchgeo", fake_tg)
+    monkeypatch.setitem(sys.modules, "torchgeo.datasets", fake_ds_mod)
+
+    batches = make_seasonet_datamodule("/nonexistent", batch_size=2, size=32, seed=0)
+    batch = next(batches())
+    assert batch["image"].shape == (2, 32, 32, 12)
+    assert batch["wvs"].shape == (12,)
+    # /3000 scaling applied: values around 0.5, not 1500.
+    assert 0.1 < float(batch["image"].mean()) < 1.0
