@@ -12,6 +12,12 @@ Methodology:
   reconstruction) and synced once at the end: identical independent calls
   can be deduplicated/pipelined by the runtime and overstate throughput by
   ~100×, which we observed on this platform.
+- The chain runs as ONE on-device `lax.fori_loop` per timed call (round 2):
+  per-dispatch chaining paid a tunnel dispatch cost per iteration, and a
+  sync-per-iteration harness adds the full ~26 ms tunnel round-trip to
+  every step — measured microbenchmarks that way understate conv MFU by
+  3×. One dispatch + one final 4-byte fetch amortizes the round-trip to
+  RT/ITERS (< 0.7% here).
 
 The reference publishes no benchmark numbers (BASELINE.md); the anchor is
 the analytic A100 estimate derived in BASELINE.md — 0.794 TF/img (XLA
@@ -23,6 +29,7 @@ has 0.63× the A100's bf16 peak, so 1.0 already implies ~1.6× better MFU).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -34,8 +41,7 @@ A100_ANALYTIC_IMGS_PER_SEC = 157.0
 
 BATCH = 16
 RES = 256
-WARMUP = 2
-ITERS = 20
+ITERS = 50
 
 
 def _host_init_variables(core, x, wvs):
@@ -98,35 +104,31 @@ def main() -> None:
     )
     variables = _host_init_variables(core, x[:1], wvs)
 
-    @jax.jit
-    def step(variables, x, wvs):
-        recon, _ = core.apply(
-            variables, x, wvs, sample_posterior=False, method=EOVAECore.forward
-        )
-        # tanh keeps the feedback chain numerically bounded in bf16.
-        return jnp.tanh(recon).astype(jnp.float32)
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(variables, x, wvs, iters):
+        def body(_, y):
+            recon, _ = core.apply(
+                variables, y, wvs, sample_posterior=False, method=EOVAECore.forward
+            )
+            # tanh keeps the feedback chain numerically bounded in bf16.
+            return jnp.tanh(recon).astype(jnp.float32)
 
-    def run_chain(iters: int, sync_every: int) -> float:
-        """Dependency-chained loop; barrier = scalar sum fetch (4-byte
-        transfer) — block_until_ready proved unreliable on the tunnel."""
-        y = x
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    def run_chain(iters: int) -> float:
+        """One on-device dependency chain per dispatch; barrier = scalar sum
+        fetch (4-byte transfer) — block_until_ready proved unreliable on
+        the tunnel."""
         t0 = time.perf_counter()
-        for i in range(iters):
-            y = step(variables, y, wvs)
-            if (i + 1) % sync_every == 0:
-                float(jnp.sum(y[0, 0, 0]))
+        y = chain(variables, x, wvs, iters)
         float(jnp.sum(y[0, 0, 0]))
         return BATCH * iters / (time.perf_counter() - t0)
 
-    run_chain(WARMUP, sync_every=1)  # compile
-    run_chain(ITERS, sync_every=ITERS)  # full-length warm pass — the first
-    # measured-length pass through the tunnel carries deferred
-    # compilation/auto-tuning work (observed 5-25x inflation).
+    run_chain(ITERS)  # compile
+    run_chain(ITERS)  # warm pass — the first measured-length pass through
+    # the tunnel carries deferred auto-tuning work.
 
-    value = run_chain(ITERS, sync_every=ITERS)
-    if value > 10_000:  # physically impossible for ~1 TFLOP/img — runtime
-        # is collapsing the chain; fall back to per-iteration sync.
-        value = run_chain(ITERS, sync_every=1)
+    value = run_chain(ITERS)
     print(
         json.dumps(
             {

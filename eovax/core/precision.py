@@ -31,12 +31,17 @@ class Policy:
             bf16 by default; the fp32 policy pins HIGHEST so results match
             the torch reference bit-near. The bf16 policy uses the native
             bf16×bf16→fp32 MXU path (precision=None).
+        conv_algorithm: "direct" (XLA conv) or "winograd" — route the large
+            3×3 stride-1 convs through eovax.kernels.winograd (4/9 the MXU
+            FLOPs; the algorithm-level trade cuDNN makes for the torch
+            reference on GPU). bf16-only; parity/golden paths stay direct.
     """
 
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision | None = jax.lax.Precision.HIGHEST
+    conv_algorithm: str = "direct"
 
     def cast_to_compute(self, x):
         return jnp.asarray(x, self.compute_dtype)
@@ -52,6 +57,9 @@ FULL_PRECISION = Policy()
 #: and inference). Matches the reference's "16-mixed" intent.
 DEFAULT_POLICY = Policy(compute_dtype=jnp.bfloat16, precision=None)
 
+#: DEFAULT_POLICY + Winograd F(2×2,3×3) for the big 3×3 convs.
+WINOGRAD_POLICY = dataclasses.replace(DEFAULT_POLICY, conv_algorithm="winograd")
+
 
 def policy_from_name(name: str) -> Policy:
     """Map config strings ('32-true', '16-mixed', 'bf16-mixed', ...) to a Policy."""
@@ -60,4 +68,6 @@ def policy_from_name(name: str) -> Policy:
         return FULL_PRECISION
     if name in ("16-mixed", "bf16-mixed", "bf16", "bfloat16", "mixed"):
         return DEFAULT_POLICY
+    if name in ("bf16-winograd", "winograd"):
+        return WINOGRAD_POLICY
     raise ValueError(f"Unknown precision policy: {name!r}")

@@ -91,15 +91,19 @@ class WavelengthConditioner(nn.Module):
 
 
 class Downsample(nn.Module):
-    """Stride-2 conv with asymmetric (right/bottom) padding."""
+    """Stride-2 conv with asymmetric (right/bottom) padding.
+
+    The (0,1,0,1) pad rides inside the conv (lax supports asymmetric
+    per-dim padding) instead of a jnp.pad — same math, but XLA never
+    materializes the padded copy of the full-resolution activation.
+    """
 
     in_channels: int
     policy: Policy = FULL_PRECISION
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return _conv(self.in_channels, 3, 2, "VALID", self.policy, "conv")(x)
+        return _conv(self.in_channels, 3, 2, ((0, 1), (0, 1)), self.policy, "conv")(x)
 
 
 class Upsample(nn.Module):
@@ -132,11 +136,17 @@ class Upsample(nn.Module):
 def subpixel_upsample_conv(
     x: jax.Array, w3: jax.Array, bias: jax.Array, policy: Policy
 ) -> jax.Array:
-    """conv3x3(nearest_up2(x)) as one phase-stacked 2×2 conv + interleave.
+    """conv3x3(nearest_up2(x)) as four per-phase 2×2 convs + one interleave.
 
     Output pixel (2i+py, 2j+px) sees input rows {i−1+py, i+py} and cols
     {j−1+px, j+px}; the 3×3 taps collapse per phase to 2×2 kernels:
     rows phase 0 → (w0 | w1+w2), phase 1 → (w0+w1 | w2), same along width.
+
+    Each phase runs as its own conv with phase-specific asymmetric padding
+    so all four outputs are spatially aligned at [B,H,W,O]; the interleave
+    is then a single stack+transpose (no offset slicing). Measured on v5e
+    (B=16 decode): 5.3 ms faster than a phase-stacked single conv whose
+    output needs four offset slices (ARCHITECTURE.md round-2 notes).
     """
     b_, h, w, _ = x.shape
     co = w3.shape[-1]
@@ -145,7 +155,8 @@ def subpixel_upsample_conv(
         jnp.stack([w3f[0], w3f[1] + w3f[2]], axis=0),  # py=0: [2, 3, I, O]
         jnp.stack([w3f[0] + w3f[1], w3f[2]], axis=0),  # py=1
     ]
-    phases = []
+    xc = policy.cast_to_compute(x)
+    outs = []
     for py in (0, 1):
         kk = row[py]
         for px in (0, 1):
@@ -153,48 +164,61 @@ def subpixel_upsample_conv(
                 k2 = jnp.stack([kk[:, 0], kk[:, 1] + kk[:, 2]], axis=1)
             else:
                 k2 = jnp.stack([kk[:, 0] + kk[:, 1], kk[:, 2]], axis=1)
-            phases.append(k2)  # [2, 2, I, O]
-    w2 = jnp.concatenate(phases, axis=-1)  # [2, 2, I, 4O]
-
-    # Window starts −1..H−1 after (1,1) padding; phase 0 reads starts
-    # i−1 (slice [0:H]), phase 1 reads starts i (slice [1:H+1]).
-    y = jax.lax.conv_general_dilated(
-        policy.cast_to_compute(x),
-        policy.cast_to_compute(w2),
-        window_strides=(1, 1),
-        padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=policy.precision,
-        preferred_element_type=policy.compute_dtype,
-    )  # [B, H+1, W+1, 4O]
-
-    def phase(py: int, px: int, idx: int) -> jax.Array:
-        return y[:, py : h + py, px : w + px, idx * co : (idx + 1) * co]
-
-    stacked = jnp.stack(
-        [
-            jnp.stack([phase(0, 0, 0), phase(0, 1, 1)], axis=3),  # [B,H,W,2(px),O]
-            jnp.stack([phase(1, 0, 2), phase(1, 1, 3)], axis=3),
-        ],
-        axis=2,
-    )  # [B, H, 2(py), W, 2(px), O]
-    out = stacked.reshape(b_, 2 * h, 2 * w, co)
+            # Phase (py, px) reads input rows {i−1+py, i+py}: pad one row
+            # on top for phase 0 (window starts at −1), one at the bottom
+            # for phase 1 — likewise along width.
+            outs.append(
+                jax.lax.conv_general_dilated(
+                    xc,
+                    policy.cast_to_compute(k2),
+                    window_strides=(1, 1),
+                    padding=[(1, 0) if py == 0 else (0, 1), (1, 0) if px == 0 else (0, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=policy.precision,
+                    preferred_element_type=policy.compute_dtype,
+                )
+            )  # [B, H, W, O]
+    stacked = jnp.stack(outs, axis=3).reshape(b_, h, w, 2, 2, co)
+    out = jnp.transpose(stacked, (0, 1, 3, 2, 4, 5)).reshape(b_, 2 * h, 2 * w, co)
     return out + bias.astype(out.dtype)
 
 
 class ResnetBlock(nn.Module):
-    """GN→swish→conv ×2 with optional AdaIN modulation after norm2."""
+    """GN→swish→conv ×2 with optional AdaIN modulation after norm2.
+
+    The two 3×3 convs carry ~85% of the VAE's FLOPs; under
+    ``policy.conv_algorithm == "winograd"`` they run as F(2×2,3×3)
+    batched matmuls (eovax.kernels.winograd) with identical parameters —
+    the nn.Conv declares the variables, the Winograd path reads them.
+    """
 
     in_channels: int
     out_channels: int
     cond_dim: int | None = None
     policy: Policy = FULL_PRECISION
 
+    def _conv3x3(self, x: jax.Array, name: str) -> jax.Array:
+        conv = _conv(self.out_channels, 3, 1, ((1, 1), (1, 1)), self.policy, name)
+        if not self.is_initializing() and self.policy.conv_algorithm == "winograd":
+            from eovax.kernels.winograd import should_use_winograd, winograd_conv3x3
+
+            params = self.get_variable("params", name)
+            if should_use_winograd(
+                x.shape, params["kernel"].shape, (1, 1), self.policy.compute_dtype
+            ):
+                return winograd_conv3x3(
+                    x,
+                    params["kernel"],
+                    params["bias"],
+                    compute_dtype=self.policy.compute_dtype,
+                )
+        return conv(x)
+
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array | None = None) -> jax.Array:
         h = _group_norm(self.policy, "norm1")(x)
         h = swish(h)
-        h = _conv(self.out_channels, 3, 1, ((1, 1), (1, 1)), self.policy, "conv1")(h)
+        h = self._conv3x3(h, "conv1")
 
         h = _group_norm(self.policy, "norm2")(h)
         if self.cond_dim is not None and emb is not None:
@@ -217,7 +241,7 @@ class ResnetBlock(nn.Module):
             h = h * scale.astype(h.dtype) + shift.astype(h.dtype)
 
         h = swish(h)
-        h = _conv(self.out_channels, 3, 1, ((1, 1), (1, 1)), self.policy, "conv2")(h)
+        h = self._conv3x3(h, "conv2")
 
         if self.in_channels != self.out_channels:
             x = _conv(self.out_channels, 1, 1, "VALID", self.policy, "nin_shortcut")(x)
