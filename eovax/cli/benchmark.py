@@ -2,10 +2,10 @@
 (/root/reference/benchmark_compute.py:248-280): per-stage encode / SR /
 decode latency, throughput, parameter counts, peak memory.
 
-Timing: device round-trip barriers around each stage (scalar fetch — see
-bench.py for why block_until_ready is insufficient on tunnel platforms).
-Peak memory comes from jax device memory stats when the backend exposes
-them.
+Timing: each stage is measured as one on-device `lax.fori_loop` dependency
+chain with a single 4-byte sync (see bench.py — per-call barriers add the
+full tunnel round-trip to every iteration on remote-TPU hosts). Peak
+memory comes from jax device memory stats when the backend exposes them.
 
 Usage:
     python -m eovax.cli.benchmark --name eo-vae [--batch 1] [--iters 50] \
@@ -94,36 +94,45 @@ def main(argv=None) -> None:
     def sr_forward(params, x1, cond):
         return sampler(params, x1, cond)
 
-    def barrier(arr):
-        float(jnp.sum(jnp.ravel(arr)[0]))
+    def chained_ms(body, seed_arg, iters) -> float:
+        """Average per-iteration ms of `body` as ONE on-device fori_loop
+        dependency chain (scalar feedback into the input) with a single
+        4-byte sync — a per-call barrier would add the full tunnel
+        round-trip (~26 ms here) to every iteration; see bench.py."""
+        import functools
 
-    def timed(fn, *a):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(a0, n):
+            def it(_, s):
+                out = body(a0 + s.astype(a0.dtype))
+                return jnp.sum(jnp.ravel(out)[:8].astype(jnp.float32)) * 1e-20
+
+            return jax.lax.fori_loop(0, n, it, jnp.zeros((), jnp.float32))
+
+        float(loop(seed_arg, iters))  # compile + autotune
+        float(loop(seed_arg, iters))  # warm
         t0 = time.perf_counter()
-        out = fn(*a)
-        barrier(out)
-        return out, (time.perf_counter() - t0) * 1000.0
+        float(loop(seed_arg, iters))
+        return (time.perf_counter() - t0) / iters * 1000.0
 
-    # Warmup.
-    for _ in range(args.warmup):
-        z_lr = model.encode_spatial_normalized(lr, wvs)
-        x1 = sampler.init(jax.random.PRNGKey(1), _nhwc_shape(z_lr))
-        pred = sr_forward(sr_params, x1, _to_nhwc(z_lr))
-        _ = model.decode_spatial_normalized(_to_nchw(pred), wvs)
-        barrier(_)
+    core, variables = model.core, model.variables
+    z_lr = model.encode_spatial_normalized(lr, wvs)
+    x1 = sampler.init(jax.random.PRNGKey(2), _nhwc_shape(z_lr))
+    pred = sr_forward(sr_params, x1, _to_nhwc(z_lr))
+    out = model.decode_spatial_normalized(_to_nchw(pred), wvs)
 
-    enc_ms, sr_ms, dec_ms = [], [], []
-    for _ in range(args.iters):
-        z_lr, t_enc = timed(lambda x: model.encode_spatial_normalized(x, wvs), lr)
-        x1 = sampler.init(jax.random.PRNGKey(2), _nhwc_shape(z_lr))
-        pred, t_sr = timed(lambda a, b: sr_forward(sr_params, a, b), x1, _to_nhwc(z_lr))
-        out, t_dec = timed(lambda p: model.decode_spatial_normalized(_to_nchw(p), wvs), pred)
-        enc_ms.append(t_enc)
-        sr_ms.append(t_sr)
-        dec_ms.append(t_dec)
-
-    avg_encode = float(np.mean(enc_ms))
-    avg_sr = float(np.mean(sr_ms))
-    avg_decode = float(np.mean(dec_ms))
+    lr_nhwc = _to_nhwc(lr)
+    avg_encode = chained_ms(
+        lambda x: core.apply(variables, x, wvs, method=type(core).encode_spatial_normalized),
+        lr_nhwc, args.iters,
+    )
+    avg_sr = chained_ms(
+        lambda a: sr_forward(sr_params, a, _to_nhwc(z_lr)), x1, args.iters
+    )
+    avg_decode = chained_ms(
+        lambda p: core.apply(variables, p, wvs, method=type(core).decode_spatial_normalized),
+        pred, args.iters,
+    )
     avg_total = avg_encode + avg_sr + avg_decode
     throughput = args.batch * 1000.0 / avg_total
 

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 import numpy as np
 
 from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig
@@ -85,3 +87,47 @@ def test_compare_weight_distill_core():
     out = compare(model, teacher, [0.665, 0.560, 0.490])
     assert set(out) == {"encoder", "decoder"}
     assert np.isfinite(out["encoder"]["weight_mse"])
+
+
+@pytest.mark.slow
+def test_benchmark_cli_chained(tmp_path, capsys):
+    """Benchmark CLI end-to-end on a tiny config: reference JSON schema,
+    on-device chained timing (no per-iteration sync)."""
+    cfg_yaml = tmp_path / "model_config.yaml"
+    cfg_yaml.write_text(
+        """
+model:
+  encoder:
+    z_channels: 8
+    resolution: 32
+    in_channels: 4
+    ch: 32
+    ch_mult: [ 1,2 ]
+    num_res_blocks: 1
+    use_dynamic_ops: True
+    dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}
+  decoder:
+    z_channels: 8
+    resolution: 32
+    out_ch: 4
+    ch: 32
+    ch_mult: [ 1,2 ]
+    num_res_blocks: 1
+    use_dynamic_ops: True
+    dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}
+"""
+    )
+    from eovax.cli.benchmark import main as bench_main
+
+    out_json = tmp_path / "bench.json"
+    bench_main([
+        "--config", str(cfg_yaml), "--resolution", "32", "--iters", "2",
+        "--sr-steps", "2", "--batch", "1", "--output", str(out_json),
+    ])
+    result = json.loads(out_json.read_text())
+    assert result["model_type"] == "eo-vae"
+    timing = result["timing_ms"]
+    for key in ("encode", "sr_forward", "decode", "total"):
+        assert timing[key] > 0
+    assert result["throughput_imgs_per_sec"] > 0
+    assert result["parameters"]["total"] > 0
