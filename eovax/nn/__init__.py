@@ -14,3 +14,10 @@ from eovax.nn.dynamic_conv import (  # noqa: F401
     sincos_wavelength_embed,
 )
 from eovax.nn.latent import LatentBatchNorm, patch_shuffle, patch_unshuffle  # noqa: F401
+from eovax.nn.embeddings import (  # noqa: F401
+    LearnedPositionalEmbedding,
+    RelativePositionBias,
+    TimestepEmbedding,
+    Timesteps,
+    get_timestep_embedding,
+)
