@@ -74,13 +74,14 @@ def benchmark_table(results: list[dict], baseline: str | None = None,
         lines += ["\\bottomrule", "\\end{tabular}"]
         return "\n".join(lines)
 
-    widths = {c: max(len(c), *(len(str(r[c])) for r in rows)) for c in cols}
+    def cell(row, c):
+        return "-" if row[c] is None else str(row[c])
+
+    widths = {c: max(len(c), *(len(cell(r, c)) for r in rows)) for c in cols}
     lines = ["  ".join(c.ljust(widths[c]) for c in cols)]
     lines.append("  ".join("-" * widths[c] for c in cols))
     for row in rows:
-        lines.append(
-            "  ".join(str("-" if row[c] is None else row[c]).ljust(widths[c]) for c in cols)
-        )
+        lines.append("  ".join(cell(row, c).ljust(widths[c]) for c in cols))
     return "\n".join(lines)
 
 
@@ -154,13 +155,14 @@ def combined_table(combined: dict, fmt: str = "text") -> str:
             )
         lines += ["\\bottomrule", "\\end{tabular}"]
         return "\n".join(lines)
-    widths = {c: max(len(c), *(len(str(r[c])) for r in rows)) for c in cols}
+    def cell(row, c):
+        return "-" if row[c] is None else str(row[c])
+
+    widths = {c: max(len(c), *(len(cell(r, c)) for r in rows)) for c in cols}
     lines = ["  ".join(c.ljust(widths[c]) for c in cols)]
     lines.append("  ".join("-" * widths[c] for c in cols))
     for row in rows:
-        lines.append(
-            "  ".join(str("-" if row[c] is None else row[c]).ljust(widths[c]) for c in cols)
-        )
+        lines.append("  ".join(cell(row, c).ljust(widths[c]) for c in cols))
     return "\n".join(lines)
 
 

@@ -113,7 +113,8 @@ def main(argv=None) -> None:
         dm_cfg = raw_cfg.get("datamodule", {})
         mods = tuple(dm_cfg.get("modalities", ["S2L2A", "S1RTC", "S2RGB"]))
         mods = tuple(m for m in mods if m != "S1GRD")
-        size = tuple(dm_cfg.get("target_size", (256, 256)))
+        size = dm_cfg.get("target_size", (256, 256))
+        size = (size, size) if isinstance(size, int) else tuple(size)
         train_iter = synthetic_terramesh_batches(
             batch_size=dm_cfg.get("batch_size", 16), target_size=size,
             modalities=mods, seed=args.seed,

@@ -53,9 +53,11 @@ def _safe_eval(expr: str) -> Any:
             raise ValueError(f"Unsafe expression in config: {expr!r}")
     result = eval(compile(node, "<config>", "eval"))  # noqa: S307 — AST-validated
     # OmegaConf resolver-arg quoting: ${eval:'1 * 2000'} hands the resolver
-    # the *unquoted* string, so a quoted expr must be evaluated once more
-    # (reference registers `eval` at train.py:16).
-    if isinstance(result, str):
+    # the expression wrapped in quotes, so a bare string LITERAL is
+    # unwrapped and evaluated once more (reference registers `eval` at
+    # train.py:16). Only the quoted-literal case recurses — an expression
+    # that legitimately PRODUCES a string (e.g. 'ab' + 'cd') returns it.
+    if isinstance(node.body, ast.Constant) and isinstance(result, str):
         return _safe_eval(result)
     return result
 

@@ -92,11 +92,19 @@ def make_seasonet_datamodule(
                     images = np.asarray(
                         resize_nhwc(images, (size, size), mode="bilinear")
                     )
-                if train:  # K.RandomHorizontalFlip/VerticalFlip p=0.5
-                    if rng.random() < 0.5:
-                        images = images[:, :, ::-1]
-                    if rng.random() < 0.5:
-                        images = images[:, ::-1]
+                if train:
+                    # K.RandomHorizontalFlip/VerticalFlip p=0.5 with
+                    # kornia's default same_on_batch=False: an independent
+                    # coin per SAMPLE per flip axis (datamodule.py:96-101),
+                    # not one decision for the whole batch.
+                    flipped = []
+                    for img in images:  # img: [H, W, C]
+                        if rng.random() < 0.5:
+                            img = img[:, ::-1]  # horizontal
+                        if rng.random() < 0.5:
+                            img = img[::-1]  # vertical
+                        flipped.append(img)
+                    images = np.stack(flipped)
                 yield {
                     "image": np.ascontiguousarray(images),
                     "wvs": wvs,

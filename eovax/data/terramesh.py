@@ -385,12 +385,25 @@ def build_terramesh_dataset(
     def make_batched(source_urls: list[str], source_mods: list[str]) -> Iterator[dict]:
         single = len(source_mods) == 1
 
+        # Static per-process assignment — computed once so an empty
+        # assignment (subset with fewer shards than processes) terminates
+        # the stream instead of busy-spinning the `while True` repeat loop
+        # forever without yielding (which would hang _random_mix/_prefetch).
+        assigned = split_shards(
+            list(source_urls),
+            process_index=process_index, process_count=process_count,
+        )
+
         def sample_stream() -> Iterator[dict]:
-            while True:
-                shards = split_shards(
-                    list(source_urls),
-                    process_index=process_index, process_count=process_count,
+            if not assigned:
+                warnings.warn(
+                    f"No shards assigned to process {process_index}/"
+                    f"{process_count} for a source with {len(source_urls)} "
+                    "shards; this source yields nothing on this host."
                 )
+                return
+            while True:
+                shards = list(assigned)
                 if shuffle:
                     rng.shuffle(shards)
                 if single:

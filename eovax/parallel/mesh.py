@@ -104,6 +104,25 @@ def global_batch_from_local(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> An
     return jax.tree_util.tree_map(place, batch)
 
 
+def local_numpy(x) -> np.ndarray:
+    """Host-local numpy view of a (possibly multi-host-sharded) array.
+
+    `np.asarray` / `jax.device_get` on an array whose shards span other
+    processes' devices raises ("spans non-addressable devices"); this
+    concatenates only THIS process's addressable shards along axis 0 —
+    exactly the host's local portion of a `place_batch`-sharded batch.
+    Fully-addressable arrays pass straight through.
+    """
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if x.is_fully_addressable:
+        return np.asarray(jax.device_get(x))
+    shards = sorted(
+        x.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def place_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     """Put a host batch onto the mesh, multi-host aware.
 

@@ -19,7 +19,7 @@ import numpy as np
 import optax
 
 from eovax.models.sr_diffusion import DDIMSampler
-from eovax.parallel.mesh import make_mesh, place_batch, replicate
+from eovax.parallel.mesh import local_numpy, make_mesh, place_batch, replicate
 from eovax.train.schedule import SR_STEPS_PER_EPOCH, cosine_warmup_schedule
 
 
@@ -122,14 +122,20 @@ class DiffusionSuperRes:
     ) -> SRTrainState:
         state = state if state is not None else self.init_state()
         t0 = time.time()
+        # Host-side resume-aware counter (fetching state.step per iteration
+        # would force a device sync inside the dispatch pipeline).
+        global_step = int(state.step)
         for i, batch in enumerate(train_iter):
-            if i >= max_steps:
+            # Global budget: a state resumed at step N trains the remaining
+            # max_steps − N steps, not max_steps more.
+            if global_step >= max_steps:
                 break
             self._key, k = jax.random.split(self._key)
             sharded = place_batch(
                 {"hr": batch["image_hr"], "lr": batch["image_lr"]}, self.mesh
             )
             state, logs = self._train_step(state, sharded["hr"], sharded["lr"], k)
+            global_step += 1
             if self.log_every and (i + 1) % self.log_every == 0:
                 scalars = {k2: float(v) for k2, v in logs.items()}
                 scalars["steps_per_sec"] = (i + 1) / max(time.time() - t0, 1e-9)
@@ -152,16 +158,20 @@ class DiffusionSuperRes:
             )
             if i == 0 and self.image_logger is not None:
                 # LR | prediction | HR grid on val batch 0 (reference
-                # super_res_image_logger.py:18-31).
+                # super_res_image_logger.py:18-31). All processes run the
+                # sampling program; only process 0 materializes its local
+                # shards and writes (device_get on a multi-host-sharded
+                # array raises).
                 pred = self.sample(
                     state, sharded["hr"].shape, sharded["lr"], seed=self.seed
                 )
-                self.image_logger.log(
-                    np.asarray(jax.device_get(sharded["lr"])),
-                    np.asarray(jax.device_get(pred)),
-                    np.asarray(jax.device_get(sharded["hr"])),
-                    step=int(state.step),
-                )
+                if jax.process_index() == 0:
+                    self.image_logger.log(
+                        local_numpy(sharded["lr"]),
+                        local_numpy(pred),
+                        local_numpy(sharded["hr"]),
+                        step=int(state.step),
+                    )
             mses.append(float(self._val_step(state, sharded["hr"], sharded["lr"], k)))
         result = {"val_mse": float(np.mean(mses))} if mses else {}
         if self.logger is not None and result:

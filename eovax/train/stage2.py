@@ -39,7 +39,7 @@ import optax
 
 from eovax.core.config import VAEConfig
 from eovax.models.backbone import EOVAECore
-from eovax.parallel.mesh import make_mesh, place_batch, replicate
+from eovax.parallel.mesh import local_numpy, make_mesh, place_batch, replicate
 from eovax.train.schedule import STAGE2_STEPS_PER_EPOCH, cosine_warmup_schedule
 from eovax.utils.resize import resize_nhwc
 
@@ -482,7 +482,11 @@ class Stage2Trainer:
         t0 = time.time()
         global_step = int(state.step)  # resume-aware host-side counter
         for i, batch in enumerate(train_iter):
-            if i >= self.max_steps:
+            if global_step >= self.max_steps:
+                # max_steps is the GLOBAL training budget: a resumed run
+                # finishes the remaining steps rather than training
+                # max_steps more (the optimizer schedule was built with
+                # total_steps=max_steps).
                 break
             scale, angle = self._roll_mode()
             self._key, step_key = jax.random.split(self._key)
@@ -531,14 +535,18 @@ class Stage2Trainer:
             if i == 0 and self.image_logger is not None:
                 # Reconstruction grid on val batch 0 (reference ImageLogger
                 # callback, train.py:151-154 / image_logger.py:183-284).
+                # Every process runs the (collective-free) recon program;
+                # only process 0 materializes its local shards and writes —
+                # device_get on a multi-host-sharded array would raise.
                 recon = self._jitted("recon")(state, sharded["image"], sharded["wvs"])
-                self.image_logger.log(
-                    np.asarray(jax.device_get(sharded["image"])),
-                    np.asarray(jax.device_get(recon)),
-                    modality=batch.get("modality", "S2RGB"),
-                    norm_scheme=self.norm_scheme,
-                    step=int(state.step),
-                )
+                if jax.process_index() == 0:
+                    self.image_logger.log(
+                        local_numpy(sharded["image"]),
+                        local_numpy(recon),
+                        modality=batch.get("modality", "S2RGB"),
+                        norm_scheme=self.norm_scheme,
+                        step=int(state.step),
+                    )
             logs = fn(state, sharded["image"], sharded["wvs"], k)
             for name, v in logs.items():
                 agg.setdefault(name, []).append(float(v))

@@ -149,3 +149,14 @@ def test_param_count_full_config():
     )
     assert enc_params == 40_176_128, enc_params
     assert dec_params == 55_338_017, dec_params
+
+
+def test_eval_resolver_string_results():
+    """Quoted-literal expressions unwrap once; expressions that legitimately
+    PRODUCE a string return it unchanged (regression: the resolver used to
+    re-evaluate every string result and raise on e.g. 'ab' + 'cd')."""
+    from eovax.core.config import _safe_eval
+
+    assert _safe_eval("'1 * 2000'") == 2000  # quoted literal -> unwrapped
+    assert _safe_eval("'ab' + 'cd'") == "abcd"  # string-producing expr
+    assert _safe_eval("2 ** 10") == 1024

@@ -69,13 +69,23 @@ def test_stage2_auto_resume(tmp_path, capsys):
     assert int(s1.step) == 2
 
     # Fresh trainer on the same dir: picks up step 2 without --ckpt.
+    # max_steps is the GLOBAL budget (Lightning Trainer(max_steps=N)
+    # semantics): resuming at 2 with max_steps=4 trains exactly 2 more.
     t2 = Stage2Trainer(
-        model=EOFluxVAE(CFG, seed=99), loss_obj=loss, cfg=CFG, max_steps=2,
+        model=EOFluxVAE(CFG, seed=99), loss_obj=loss, cfg=CFG, max_steps=4,
         log_every=0, ckpt_dir=str(tmp_path / "ckpt"), seed=0,
     )
-    s2 = t2.fit(batches(2, 1))
+    s2 = t2.fit(batches(4, 1))
     assert int(s2.step) == 4
     assert "resumed from checkpoint at step 2" in capsys.readouterr().out
+
+    # A run resumed at (or past) the budget trains zero further steps.
+    t3 = Stage2Trainer(
+        model=EOFluxVAE(CFG, seed=7), loss_obj=loss, cfg=CFG, max_steps=4,
+        log_every=0, ckpt_dir=str(tmp_path / "ckpt"), seed=0,
+    )
+    s3 = t3.fit(batches(4, 2))
+    assert int(s3.step) == 4
     # Resumed params actually came from the checkpoint, not seed-99 init.
     w1 = np.asarray(
         jax.device_get(jax.tree_util.tree_leaves(s1.params)[0])

@@ -246,3 +246,29 @@ def test_subset_mix_exhausts_both_sources(mixed_root):
     assert total == 8 * 4 + 4  # 8 majortom shards ×4 samples + 1 ssl shard ×4
     signs = {float(np.sign(b["image"].mean())) for b in batches}
     assert signs == {1.0, -1.0}
+
+
+def test_empty_shard_assignment_terminates(tmp_path):
+    """A process assigned zero shards (subset smaller than process_count)
+    must yield an empty stream, not busy-spin the repeat loop forever."""
+    import warnings as _warnings
+
+    from eovax.data.terramesh import build_terramesh_dataset
+
+    from tests._zarr_helpers import write_terramesh_shard
+
+    shard = tmp_path / "shard_000001.tar"
+    samples = [
+        {"bands": np.random.default_rng(0).normal(100, 30, (1, 12, 8, 8)).astype("<f4"),
+         "time": 0}
+        for _ in range(2)
+    ]
+    write_terramesh_shard(str(shard), samples, compressor="lz4")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        it = build_terramesh_dataset(
+            str(tmp_path), "S2L2A", urls=[str(shard)], batch_size=2,
+            repeat=True, process_index=5, process_count=8,
+        )
+        assert list(it) == []
+    assert any("No shards assigned" in str(w.message) for w in caught)
