@@ -1,0 +1,53 @@
+"""Export a trained EO-VAE to a StableHLO serving artifact.
+
+Usage:
+    python -m eovax.cli.export --config model_config.yaml --ckpt eo-vae.ckpt \
+        --output artifact/ [--modalities S2L2A S2RGB] [--resolution 256]
+
+The artifact (manifest + params.msgpack + one .stablehlo file per
+function×modality) reloads via ``eovax.serving.ServedModel.load`` and
+serves ``reconstruct`` / ``encode_spatial_normalized`` /
+``decode_spatial_normalized`` at any batch size without the model code.
+See eovax/serving/__init__.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from eovax.cli.common import enable_compile_cache
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Export EO-VAE serving artifact")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--modalities", nargs="+", default=["S2L2A"])
+    parser.add_argument("--resolution", type=int, default=256)
+    parser.add_argument(
+        "--precision", default="16-mixed", help="'32-true' or '16-mixed' (bf16)"
+    )
+    args = parser.parse_args(argv)
+
+    enable_compile_cache()
+
+    from eovax.core.precision import policy_from_name
+    from eovax.models.eo_flux_vae import EOFluxVAE
+    from eovax.serving import export_model
+
+    model = EOFluxVAE.from_config(
+        args.config, args.ckpt, policy=policy_from_name(args.precision)
+    )
+    manifest = export_model(
+        model,
+        args.output,
+        modalities=tuple(args.modalities),
+        resolution=args.resolution,
+    )
+    n = len(manifest["functions"])
+    print(f"exported {n} functions to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

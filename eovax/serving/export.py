@@ -1,0 +1,167 @@
+"""StableHLO export + loader for the EO-VAE inference surface.
+
+See eovax/serving/__init__.py for the design overview. Reference context:
+the torch repo's only deployment interface is `EOFluxVAE.from_pretrained`
+(/root/reference/eo_vae/models/new_autoencoder.py:223-268), which needs
+the full Python model stack at inference time; this module removes that
+dependency for serving.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eovax.data.wavelengths import WAVELENGTHS
+
+#: function name → (core method, latent-space input?)
+_FUNCTIONS = {
+    "reconstruct": ("reconstruct", False),
+    "encode_spatial_normalized": ("encode_spatial_normalized", False),
+    "decode_spatial_normalized": ("decode_spatial_normalized", True),
+}
+
+_MANIFEST = "manifest.json"
+_PARAMS = "params.msgpack"
+
+
+def _nchw_fn(core, method_name: str, wvs: jax.Array):
+    """Wrap a core method as (variables, x_nchw) → y_nchw with the
+    modality wavelengths closed over (a per-artifact constant)."""
+    method = getattr(type(core), method_name)
+
+    def fn(variables, x):
+        x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW → NHWC
+        y = core.apply(variables, x, wvs, method=method)
+        return jnp.transpose(y, (0, 3, 1, 2))
+
+    return fn
+
+
+def export_model(
+    model,
+    out_dir: str,
+    *,
+    modalities: tuple[str, ...] = ("S2L2A",),
+    resolution: int = 256,
+    functions: tuple[str, ...] = tuple(_FUNCTIONS),
+) -> dict:
+    """Export the inference surface of an ``EOFluxVAE`` to ``out_dir``.
+
+    Writes ``params.msgpack`` (existing checkpoint codec), one serialized
+    StableHLO file per (function, modality), and ``manifest.json``
+    describing signatures. The batch dimension is symbolic — any batch
+    size works at load time. Returns the manifest dict.
+    """
+    from jax import export as jexport
+
+    from eovax.utils.checkpoint import save_variables
+
+    os.makedirs(out_dir, exist_ok=True)
+    core = model.core
+    variables = model.variables
+    save_variables(os.path.join(out_dir, _PARAMS), variables)
+    var_shapes = jax.tree_util.tree_map(
+        lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), variables
+    )
+
+    z_ch = model.config.encoder.z_channels
+    factor = 2 ** (len(model.config.encoder.ch_mult) - 1)  # downsample levels
+    latent_hw = resolution // factor
+
+    (b,) = jexport.symbolic_shape("b")
+    manifest: dict[str, Any] = {
+        "format": "eovax-serving-v1",
+        "resolution": resolution,
+        "params": _PARAMS,
+        "functions": {},
+    }
+    for modality in modalities:
+        wvs = jnp.asarray(WAVELENGTHS[modality], jnp.float32)
+        channels = len(WAVELENGTHS[modality])
+        for name in functions:
+            method_name, latent_input = _FUNCTIONS[name]
+            if latent_input:
+                in_shape = (b, z_ch, latent_hw, latent_hw)
+            else:
+                in_shape = (b, channels, resolution, resolution)
+            fn = _nchw_fn(core, method_name, wvs)
+            exp = jexport.export(jax.jit(fn))(
+                var_shapes, jax.ShapeDtypeStruct(in_shape, jnp.float32)
+            )
+            fname = f"{name}.{modality}.stablehlo"
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(exp.serialize())
+            manifest["functions"][f"{name}.{modality}"] = {
+                "file": fname,
+                "modality": modality,
+                "input_shape": ["b"] + [int(d) for d in in_shape[1:]],
+                "dtype": "float32",
+            }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ServedModel:
+    """Runs an exported artifact — no eovax model code involved beyond the
+    weights codec. Functions lazily deserialize on first use."""
+
+    def __init__(self, out_dir: str, manifest: dict, variables: Any):
+        self._dir = out_dir
+        self._manifest = manifest
+        self._variables = variables
+        self._fns: dict[str, Any] = {}
+
+    @classmethod
+    def load(cls, out_dir: str, template_variables: Any | None = None) -> "ServedModel":
+        """``template_variables``: a matching variables pytree used as the
+        msgpack decode template; omit to use the raw-msgpack structure."""
+        with open(os.path.join(out_dir, _MANIFEST)) as f:
+            manifest = json.load(f)
+        import flax.serialization
+
+        with open(os.path.join(out_dir, manifest["params"]), "rb") as f:
+            raw = f.read()
+        if template_variables is not None:
+            variables = flax.serialization.from_bytes(template_variables, raw)
+        else:
+            variables = flax.serialization.msgpack_restore(raw)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        return cls(out_dir, manifest, variables)
+
+    @property
+    def modalities(self) -> list[str]:
+        return sorted({v["modality"] for v in self._manifest["functions"].values()})
+
+    def _fn(self, name: str, modality: str):
+        from jax import export as jexport
+
+        key = f"{name}.{modality}"
+        if key not in self._fns:
+            entry = self._manifest["functions"].get(key)
+            if entry is None:
+                raise KeyError(
+                    f"{key!r} not in artifact (have {sorted(self._manifest['functions'])})"
+                )
+            with open(os.path.join(self._dir, entry["file"]), "rb") as f:
+                self._fns[key] = jexport.deserialize(f.read())
+        return self._fns[key]
+
+    def _call(self, name: str, x, modality: str):
+        exp = self._fn(name, modality)
+        return exp.call(self._variables, jnp.asarray(x, jnp.float32))
+
+    def reconstruct(self, x, modality: str = "S2L2A"):
+        return self._call("reconstruct", x, modality)
+
+    def encode_spatial_normalized(self, x, modality: str = "S2L2A"):
+        return self._call("encode_spatial_normalized", x, modality)
+
+    def decode_spatial_normalized(self, z, modality: str = "S2L2A"):
+        return self._call("decode_spatial_normalized", z, modality)

@@ -1,0 +1,116 @@
+"""Serving export: StableHLO artifact round-trip, symbolic batch,
+numerical parity with the live model, loader independence."""
+
+import numpy as np
+import pytest
+
+from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig
+from eovax.models.eo_flux_vae import EOFluxVAE
+
+STEM = StemConfig(num_layers=1, wv_planes=64)
+CFG = VAEConfig(
+    encoder=EncoderConfig(resolution=32, in_channels=3, ch=32, ch_mult=(1, 2),
+                          num_res_blocks=1, z_channels=8, use_dynamic_ops=True, stem=STEM),
+    decoder=DecoderConfig(resolution=32, out_ch=3, ch=32, ch_mult=(1, 2),
+                          num_res_blocks=1, z_channels=8, use_dynamic_ops=True, stem=STEM),
+)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    from eovax.serving import export_model
+
+    model = EOFluxVAE(CFG, seed=0)
+    out = tmp_path_factory.mktemp("artifact")
+    manifest = export_model(model, str(out), modalities=("S2RGB",), resolution=32)
+    return model, str(out), manifest
+
+
+def test_manifest_and_files(artifact):
+    import os
+
+    model, out, manifest = artifact
+    assert manifest["format"] == "eovax-serving-v1"
+    assert len(manifest["functions"]) == 3
+    for entry in manifest["functions"].values():
+        assert os.path.exists(os.path.join(out, entry["file"]))
+    assert os.path.exists(os.path.join(out, manifest["params"]))
+    # latent fn signature: ch_mult (1,2) -> one downsample -> 16x16 latent
+    dec = manifest["functions"]["decode_spatial_normalized.S2RGB"]
+    assert dec["input_shape"] == ["b", 8, 16, 16]
+
+
+def test_served_matches_live_model(artifact):
+    from eovax.serving import ServedModel
+
+    model, out, _ = artifact
+    served = ServedModel.load(out)
+    assert served.modalities == ["S2RGB"]
+
+    g = np.random.default_rng(0)
+    x = g.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    wvs = [0.665, 0.56, 0.49]
+
+    ref = np.asarray(model.reconstruct(x, wvs))
+    got = np.asarray(served.reconstruct(x, modality="S2RGB"))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    z_ref = np.asarray(model.encode_spatial_normalized(x, wvs))
+    z_got = np.asarray(served.encode_spatial_normalized(x, modality="S2RGB"))
+    np.testing.assert_allclose(z_got, z_ref, atol=1e-5, rtol=1e-5)
+
+    back = np.asarray(served.decode_spatial_normalized(z_got, modality="S2RGB"))
+    back_ref = np.asarray(model.decode_spatial_normalized(z_ref, wvs))
+    np.testing.assert_allclose(back, back_ref, atol=1e-5, rtol=1e-5)
+
+
+def test_symbolic_batch(artifact):
+    from eovax.serving import ServedModel
+
+    _, out, _ = artifact
+    served = ServedModel.load(out)
+    g = np.random.default_rng(1)
+    for b in (1, 3):
+        x = g.standard_normal((b, 3, 32, 32)).astype(np.float32)
+        assert served.reconstruct(x, modality="S2RGB").shape == (b, 3, 32, 32)
+
+
+def test_unknown_function_raises(artifact):
+    from eovax.serving import ServedModel
+
+    _, out, _ = artifact
+    served = ServedModel.load(out)
+    with pytest.raises(KeyError):
+        served._fn("reconstruct", "S1RTC")
+
+
+def test_export_cli(tmp_path):
+    import yaml
+
+    from eovax.cli.export import main as export_main
+    from eovax.serving import ServedModel
+
+    cfg = {
+        "model": {
+            "encoder": {
+                "z_channels": 8, "resolution": 32, "in_channels": 3, "ch": 32,
+                "ch_mult": [1, 2], "num_res_blocks": 1, "use_dynamic_ops": True,
+                "dynamic_conv_kwargs": {"num_layers": 1, "wv_planes": 64},
+            },
+            "decoder": {
+                "z_channels": 8, "resolution": 32, "out_ch": 3, "ch": 32,
+                "ch_mult": [1, 2], "num_res_blocks": 1, "use_dynamic_ops": True,
+                "dynamic_conv_kwargs": {"num_layers": 1, "wv_planes": 64},
+            },
+        }
+    }
+    cfg_path = tmp_path / "model_config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "artifact"
+    export_main([
+        "--config", str(cfg_path), "--output", str(out),
+        "--modalities", "S2RGB", "--resolution", "32", "--precision", "32-true",
+    ])
+    served = ServedModel.load(str(out))
+    x = np.zeros((1, 3, 32, 32), np.float32)
+    assert served.reconstruct(x, modality="S2RGB").shape == (1, 3, 32, 32)
