@@ -28,6 +28,11 @@ def main(argv=None) -> None:
     parser.add_argument("--flux-ckpt", default=None)
     parser.add_argument("--ckpt", default=None, help="full checkpoint to resume from")
     parser.add_argument(
+        "--vae-ckpt", default=None,
+        help="pretrained VAE checkpoint for flow-refine mode (reference "
+        "train.py:129-130: frozen VAE + fresh refiner)",
+    )
+    parser.add_argument(
         "--resume-dir", default=None,
         help="existing experiment dir: reuse it and auto-resume from its "
         "latest orbax checkpoint (preemption recovery)",
@@ -55,7 +60,20 @@ def main(argv=None) -> None:
     cfg = VAEConfig.from_dict(raw_cfg)
 
     policy = policy_from_name(args.precision)
-    model = EOFluxVAE(cfg, policy=policy, seed=args.seed)
+    # training_mode routing (train.py:120-130): FluxAutoencoderKL configs
+    # may request flow-refine; --distilled-ckpt without --vae-ckpt forces
+    # finetune (reference train.py:126-127).
+    training_mode = raw_cfg.get("model", {}).get("training_mode")
+    if args.distilled_ckpt and not args.vae_ckpt:
+        training_mode = "finetune"
+    if training_mode == "flow-refine":
+        from eovax.models.flux_autoencoder import FluxAutoencoderKL
+
+        model = FluxAutoencoderKL(
+            cfg, training_mode="flow-refine", policy=policy, seed=args.seed
+        )
+    else:
+        model = EOFluxVAE(cfg, policy=policy, seed=args.seed)
     # Component-wise loading (train.py:75-98): Flux body, then distilled stems.
     if args.flux_ckpt:
         model.load_checkpoint(args.flux_ckpt, strict=False)
@@ -63,6 +81,9 @@ def main(argv=None) -> None:
         model.load_checkpoint(args.distilled_ckpt)
     if args.ckpt:
         model.load_checkpoint(args.ckpt)
+    if args.vae_ckpt:
+        # VAE weights only; refiner trains fresh (train.py:33-62).
+        model.load_checkpoint(args.vae_ckpt, strict=False)
 
     # Loss (+ optional GAN discriminator with encoder-stem injection,
     # train.py:105-117).
@@ -145,6 +166,39 @@ def main(argv=None) -> None:
         )
         train_iter = pipeline.train_batches()
         val_factory = pipeline.val_batches
+
+    if training_mode == "flow-refine":
+        # Phase-3 flow refinement (autoencoder_flux.py:727-788): frozen
+        # VAE, rectified-flow refiner conditioned on VAE reconstructions.
+        refine_cfg = raw_cfg.get("model", {}).get("refiner", {})
+        trainer = model.make_flow_refine_trainer(
+            hid_channels=tuple(refine_cfg.get("hid_channels", (128, 128, 128))),
+            hid_blocks=tuple(refine_cfg.get("hid_blocks", (2, 2, 2))),
+            sampler_steps=refine_cfg.get("sampler_steps", 50),
+            seed=args.seed,
+            base_lr=cfg.base_lr,
+            log_every=trainer_cfg.get("log_every_n_steps", 100),
+            logger=logger,
+        )
+        from eovax.data.wavelengths import wavelengths_for
+
+        wvs = wavelengths_for(
+            raw_cfg.get("datamodule", {}).get("val_collate_mode", "S2L2A")
+        )
+        state = trainer.fit(
+            trainer.refine_batches(train_iter, wvs), max_steps=max_steps
+        )
+        if exp_dir:
+            import jax as _jax
+
+            from eovax.utils.checkpoint import save_variables
+
+            save_variables(
+                os.path.join(exp_dir, "refiner-final.msgpack"),
+                {"params": _jax.device_get(state.params)},
+            )
+            print(f"Saved refiner to {exp_dir}/refiner-final.msgpack")
+        return
 
     trainer = Stage2Trainer(
         model=model,

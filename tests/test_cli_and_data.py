@@ -191,6 +191,35 @@ trainer: {max_epochs: 1, limit_train_batches: 3, log_every_n_steps: 0}
     ])
 
 
+def test_train_cli_flow_refine(tmp_path):
+    """Flow-refine routing (reference train.py:120-130): a config with
+    training_mode: flow-refine trains the refiner on VAE reconstructions."""
+    from eovax.cli.train import main as train_main
+
+    config = tmp_path / "refine.yaml"
+    config.write_text(
+        """
+model:
+  training_mode: flow-refine
+  base_lr: 1e-3
+  refiner: {hid_channels: [16, 16], hid_blocks: [1, 1], sampler_steps: 2}
+  encoder: {z_channels: 8, resolution: 32, in_channels: 3, ch: 32,
+            ch_mult: [1, 2], num_res_blocks: 1, use_dynamic_ops: True,
+            dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}}
+  decoder: {z_channels: 8, resolution: 32, out_ch: 3, ch: 32,
+            ch_mult: [1, 2], num_res_blocks: 1, use_dynamic_ops: True,
+            dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}}
+datamodule: {batch_size: 2, target_size: [32, 32], modalities: [S2RGB],
+             val_collate_mode: S2RGB}
+trainer: {max_epochs: 1, limit_train_batches: 2, log_every_n_steps: 0}
+"""
+    )
+    train_main([
+        "--config", str(config), "--debug", "--synthetic-data",
+        "--max-steps", "2", "--precision", "32-true",
+    ])
+
+
 def test_encode_latents_core(tmp_path):
     """encode_split with synthetic batches produces the reference npz +
     stats schema."""
