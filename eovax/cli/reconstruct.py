@@ -22,6 +22,14 @@ def main(argv=None) -> None:
     parser.add_argument("--modality", default="S2RGB")
     parser.add_argument("--normalize", action="store_true")
     parser.add_argument("--output", default="recon.npy")
+    parser.add_argument(
+        "--tiled", action="store_true",
+        help="large-scene mode: fixed 256² tiles with Hann-blended "
+        "overlaps (eovax.utils.tiling) — scenes bigger than one crop",
+    )
+    parser.add_argument("--tile", type=int, default=256)
+    parser.add_argument("--overlap", type=int, default=32)
+    parser.add_argument("--tile-batch", type=int, default=16)
     args = parser.parse_args(argv)
 
     enable_compile_cache()
@@ -38,7 +46,18 @@ def main(argv=None) -> None:
     if args.normalize:
         norm = make_normalizer(args.modality)
         x = np.transpose(norm(np.transpose(x, (0, 2, 3, 1))), (0, 3, 1, 2))
-    recon = np.asarray(model.reconstruct(x, wvs))
+    if args.tiled:
+        from eovax.utils.tiling import tiled_reconstruct
+
+        recon = np.stack([
+            tiled_reconstruct(
+                model, xi, wvs, tile=args.tile, overlap=args.overlap,
+                batch_size=args.tile_batch,
+            )
+            for xi in x
+        ])
+    else:
+        recon = np.asarray(model.reconstruct(x, wvs))
     np.save(args.output, recon)
     err = float(np.mean(np.abs(recon - x)))
     print(f"Saved reconstruction to {args.output} (MAE vs input: {err:.4f})")
