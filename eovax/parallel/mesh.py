@@ -117,10 +117,16 @@ def local_numpy(x) -> np.ndarray:
         return np.asarray(x)
     if x.is_fully_addressable:
         return np.asarray(jax.device_get(x))
-    shards = sorted(
-        x.addressable_shards, key=lambda s: s.index[0].start or 0
+    shards = x.addressable_shards
+    if shards[0].data.shape == x.shape:
+        # replicated: every shard holds the full array — return one copy
+        return np.asarray(shards[0].data)
+    by_start = {}
+    for s in shards:  # dedupe axis-0 ranges (replication within a range)
+        by_start.setdefault(s.index[0].start or 0, s.data)
+    return np.concatenate(
+        [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0
     )
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def place_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
