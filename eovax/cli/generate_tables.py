@@ -19,6 +19,11 @@ import json
 import os
 
 
+def _cell(row: dict, c: str) -> str:
+    """Missing cells render '-' in both width computation and output."""
+    return "-" if row[c] is None else str(row[c])
+
+
 def load_results(patterns: list[str]) -> list[dict]:
     results = []
     for pattern in patterns:
@@ -74,14 +79,11 @@ def benchmark_table(results: list[dict], baseline: str | None = None,
         lines += ["\\bottomrule", "\\end{tabular}"]
         return "\n".join(lines)
 
-    def cell(row, c):
-        return "-" if row[c] is None else str(row[c])
-
-    widths = {c: max(len(c), *(len(cell(r, c)) for r in rows)) for c in cols}
+    widths = {c: max(len(c), *(len(_cell(r, c)) for r in rows)) for c in cols}
     lines = ["  ".join(c.ljust(widths[c]) for c in cols)]
     lines.append("  ".join("-" * widths[c] for c in cols))
     for row in rows:
-        lines.append("  ".join(cell(row, c).ljust(widths[c]) for c in cols))
+        lines.append("  ".join(_cell(row, c).ljust(widths[c]) for c in cols))
     return "\n".join(lines)
 
 
@@ -155,14 +157,11 @@ def combined_table(combined: dict, fmt: str = "text") -> str:
             )
         lines += ["\\bottomrule", "\\end{tabular}"]
         return "\n".join(lines)
-    def cell(row, c):
-        return "-" if row[c] is None else str(row[c])
-
-    widths = {c: max(len(c), *(len(cell(r, c)) for r in rows)) for c in cols}
+    widths = {c: max(len(c), *(len(_cell(r, c)) for r in rows)) for c in cols}
     lines = ["  ".join(c.ljust(widths[c]) for c in cols)]
     lines.append("  ".join("-" * widths[c] for c in cols))
     for row in rows:
-        lines.append("  ".join(cell(row, c).ljust(widths[c]) for c in cols))
+        lines.append("  ".join(_cell(row, c).ljust(widths[c]) for c in cols))
     return "\n".join(lines)
 
 

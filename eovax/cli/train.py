@@ -86,11 +86,15 @@ def main(argv=None) -> None:
         model.load_checkpoint(args.vae_ckpt, strict=False)
 
     # Loss (+ optional GAN discriminator with encoder-stem injection,
-    # train.py:105-117).
-    loss_cfg = raw_cfg.get("model", {}).get("loss_fn", {})
-    loss_obj, discriminator, seed_disc_stem = build_loss_from_config(
-        loss_cfg, cfg, policy=policy, seed=args.seed
-    )
+    # train.py:105-117). Flow-refine trains the refiner only — skip the
+    # (potentially discriminator/DOFA-sized) loss construction entirely.
+    if training_mode == "flow-refine":
+        loss_obj = discriminator = seed_disc_stem = None
+    else:
+        loss_cfg = raw_cfg.get("model", {}).get("loss_fn", {})
+        loss_obj, discriminator, seed_disc_stem = build_loss_from_config(
+            loss_cfg, cfg, policy=policy, seed=args.seed
+        )
 
     trainer_cfg = raw_cfg.get("trainer", {})
     max_epochs = trainer_cfg.get("max_epochs", 100)

@@ -138,9 +138,12 @@ class DiffusionSuperRes:
             global_step += 1
             if self.log_every and (i + 1) % self.log_every == 0:
                 scalars = {k2: float(v) for k2, v in logs.items()}
+                # rate over this run; rows keyed by the resume-aware
+                # global step so a resumed run doesn't collide with the
+                # pre-preemption history.
                 scalars["steps_per_sec"] = (i + 1) / max(time.time() - t0, 1e-9)
                 if self.logger is not None:
-                    self.logger.log(i + 1, scalars)
+                    self.logger.log(global_step, scalars)
             if val_every and val_iter_factory and (i + 1) % val_every == 0:
                 self.validate(state, val_iter_factory())
         return state
@@ -179,7 +182,19 @@ class DiffusionSuperRes:
         return result
 
     def sample(self, state: SRTrainState, shape, cond, seed: int = 0) -> jax.Array:
-        """Full DDIM sampling (super_res.py:146-158)."""
-        rng = jax.random.PRNGKey(seed)
-        x1 = self.sampler.init(rng, shape)
-        return self.sampler(state.params, x1, cond=jnp.asarray(cond))
+        """Full DDIM sampling (super_res.py:146-158).
+
+        The whole pass (incl. the x1 ~ N(0,1) init) runs inside one jit so
+        it stays SPMD-valid when ``cond`` is a multi-host-sharded global
+        array — an eagerly created host-local x1 of the global shape would
+        fail to combine with non-addressable shards.
+        """
+        tail = tuple(shape[1:])
+        cache = self.__dict__.setdefault("_sample_jits", {})
+        if tail not in cache:
+            def _sample(params, rng, cond, _tail=tail):
+                x1 = self.sampler.init(rng, cond.shape[:1] + _tail)
+                return self.sampler(params, x1, cond=cond)
+
+            cache[tail] = jax.jit(_sample)
+        return cache[tail](state.params, jax.random.PRNGKey(seed), jnp.asarray(cond))

@@ -512,7 +512,7 @@ class Stage2Trainer:
 
             global_step += 1
             if self.log_every and (i + 1) % self.log_every == 0:
-                self._log(global_step, logs, t0)
+                self._log(global_step, logs, t0, steps_this_run=i + 1)
             if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
                 self.save_checkpoint(state)
             if self.val_every and val_iter_factory and (i + 1) % self.val_every == 0:
@@ -578,9 +578,14 @@ class Stage2Trainer:
             return None
         return replicate(restored, self.mesh)
 
-    def _log(self, step: int, logs: dict, t0: float):
+    def _log(self, step: int, logs: dict, t0: float, steps_this_run: int | None = None):
         scalars = {k: float(v) for k, v in logs.items()}
-        scalars["train/steps_per_sec"] = step / max(time.time() - t0, 1e-9)
+        # Rate over THIS run only — `step` is the resume-aware global step
+        # and would inflate the rate after a preemption recovery.
+        scalars["train/steps_per_sec"] = (
+            (steps_this_run if steps_this_run is not None else step)
+            / max(time.time() - t0, 1e-9)
+        )
         if self.logger is not None:
             self.logger.log(step, scalars)
         else:

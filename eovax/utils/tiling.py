@@ -74,6 +74,8 @@ def tiled_apply(
     Returns ``[C', H·scale, W·scale]`` (or with the leading batch dim if
     the input had one).
     """
+    if not 0 <= overlap < tile:
+        raise ValueError(f"overlap must be in [0, tile); got {overlap} vs tile {tile}")
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]

@@ -51,6 +51,14 @@ def test_errors():
         tiled_apply(lambda t: t, x, tile=32)
     with pytest.raises(ValueError):
         tiled_apply(lambda t: t, np.zeros((2, 3, 64, 64), np.float32), tile=32)
+    # overlap >= tile would busy-NaN (coords empty / zero stride)
+    big = np.zeros((3, 64, 64), np.float32)
+    with pytest.raises(ValueError):
+        tiled_apply(lambda t: t, big, tile=32, overlap=32)
+    with pytest.raises(ValueError):
+        tiled_apply(lambda t: t, big, tile=32, overlap=40)
+    with pytest.raises(ValueError):
+        tiled_apply(lambda t: t, big, tile=32, overlap=-1)
 
 
 def test_tiled_reconstruct_smoke():
