@@ -191,6 +191,7 @@ trainer: {max_epochs: 1, limit_train_batches: 3, log_every_n_steps: 0}
     ])
 
 
+@pytest.mark.slow
 def test_train_cli_flow_refine(tmp_path):
     """Flow-refine routing (reference train.py:120-130): a config with
     training_mode: flow-refine trains the refiner on VAE reconstructions."""

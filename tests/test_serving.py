@@ -26,6 +26,7 @@ def artifact(tmp_path_factory):
     return model, str(out), manifest
 
 
+@pytest.mark.slow
 def test_manifest_and_files(artifact):
     import os
 
@@ -40,6 +41,7 @@ def test_manifest_and_files(artifact):
     assert dec["input_shape"] == ["b", 8, 16, 16]
 
 
+@pytest.mark.slow
 def test_served_matches_live_model(artifact):
     from eovax.serving import ServedModel
 
@@ -64,6 +66,7 @@ def test_served_matches_live_model(artifact):
     np.testing.assert_allclose(back, back_ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_symbolic_batch(artifact):
     from eovax.serving import ServedModel
 
@@ -75,6 +78,7 @@ def test_symbolic_batch(artifact):
         assert served.reconstruct(x, modality="S2RGB").shape == (b, 3, 32, 32)
 
 
+@pytest.mark.slow
 def test_unknown_function_raises(artifact):
     from eovax.serving import ServedModel
 
@@ -84,6 +88,7 @@ def test_unknown_function_raises(artifact):
         served._fn("reconstruct", "S1RTC")
 
 
+@pytest.mark.slow
 def test_export_cli(tmp_path):
     import yaml
 

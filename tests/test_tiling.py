@@ -61,6 +61,7 @@ def test_errors():
         tiled_apply(lambda t: t, big, tile=32, overlap=-1)
 
 
+@pytest.mark.slow
 def test_tiled_reconstruct_smoke():
     from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig
     from eovax.models.eo_flux_vae import EOFluxVAE
@@ -89,6 +90,7 @@ def test_tiled_reconstruct_smoke():
     assert float(diff.mean()) < float(np.abs(direct).mean())
 
 
+@pytest.mark.slow
 def test_reconstruct_cli_tiled(tmp_path):
     import yaml
 
