@@ -187,3 +187,33 @@ def test_remat_and_grad_accumulation():
         )
     )
     assert int(state.step) == 4
+
+
+@pytest.mark.slow
+def test_training_is_deterministic():
+    """Two runs with identical seeds produce bit-identical parameters —
+    the reproducibility contract for production training (jit programs
+    are deterministic; all randomness is explicitly keyed)."""
+    import jax
+    import numpy as np
+
+    from eovax.data.synthetic import synthetic_terramesh_batches
+
+    def run():
+        cfg = tiny_cfg()
+        model = EOFluxVAE(cfg, seed=7)
+        loss = EOConsistencyLoss(pixel_weight=1.0, rec_loss_type="char")
+        trainer = Stage2Trainer(
+            model=model, loss_obj=loss, cfg=cfg, max_steps=2, log_every=0, seed=7
+        )
+        state = trainer.fit(
+            synthetic_terramesh_batches(
+                batch_size=4, target_size=(32, 32), modalities=("S2RGB",),
+                seed=7, num_batches=2,
+            )
+        )
+        return jax.tree_util.tree_leaves(jax.device_get(state.params))
+
+    a, b = run(), run()
+    for la, lb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
