@@ -31,10 +31,11 @@ class Policy:
             bf16 by default; the fp32 policy pins HIGHEST so results match
             the torch reference bit-near. The bf16 policy uses the native
             bf16×bf16→fp32 MXU path (precision=None).
-        conv_algorithm: "direct" (XLA conv) or "winograd" — route the large
-            3×3 stride-1 convs through eovax.kernels.winograd (4/9 the MXU
-            FLOPs; the algorithm-level trade cuDNN makes for the torch
-            reference on GPU). bf16-only; parity/golden paths stay direct.
+        conv_algorithm: how the large 3×3 stride-1 convs run —
+            "direct" (XLA conv; the default and the training path),
+            "winograd" (eovax.kernels.winograd — kept negative result),
+            or "int8" (eovax.kernels.qconv: W8A8 on the double-rate int8
+            MXU; inference-only — round() has zero gradient).
     """
 
     param_dtype: jnp.dtype = jnp.float32
@@ -60,6 +61,9 @@ DEFAULT_POLICY = Policy(compute_dtype=jnp.bfloat16, precision=None)
 #: DEFAULT_POLICY + Winograd F(2×2,3×3) for the big 3×3 convs.
 WINOGRAD_POLICY = dataclasses.replace(DEFAULT_POLICY, conv_algorithm="winograd")
 
+#: DEFAULT_POLICY + W8A8 int8 body convs — quantized inference serving.
+INT8_POLICY = dataclasses.replace(DEFAULT_POLICY, conv_algorithm="int8")
+
 
 def policy_from_name(name: str) -> Policy:
     """Map config strings ('32-true', '16-mixed', 'bf16-mixed', ...) to a Policy."""
@@ -70,4 +74,6 @@ def policy_from_name(name: str) -> Policy:
         return DEFAULT_POLICY
     if name in ("bf16-winograd", "winograd"):
         return WINOGRAD_POLICY
+    if name in ("int8", "w8a8"):
+        return INT8_POLICY
     raise ValueError(f"Unknown precision policy: {name!r}")

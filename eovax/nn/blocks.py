@@ -199,19 +199,28 @@ class ResnetBlock(nn.Module):
 
     def _conv3x3(self, x: jax.Array, name: str) -> jax.Array:
         conv = _conv(self.out_channels, 3, 1, ((1, 1), (1, 1)), self.policy, name)
-        if not self.is_initializing() and self.policy.conv_algorithm == "winograd":
-            from eovax.kernels.winograd import should_use_winograd, winograd_conv3x3
-
+        algo = self.policy.conv_algorithm
+        if not self.is_initializing() and algo != "direct":
             params = self.get_variable("params", name)
-            if should_use_winograd(
-                x.shape, params["kernel"].shape, (1, 1), self.policy.compute_dtype
-            ):
-                return winograd_conv3x3(
-                    x,
-                    params["kernel"],
-                    params["bias"],
-                    compute_dtype=self.policy.compute_dtype,
-                )
+            kernel, bias = params["kernel"], params["bias"]
+            if algo == "winograd":
+                from eovax.kernels.winograd import should_use_winograd, winograd_conv3x3
+
+                if should_use_winograd(
+                    x.shape, kernel.shape, (1, 1), self.policy.compute_dtype
+                ):
+                    return winograd_conv3x3(
+                        x, kernel, bias, compute_dtype=self.policy.compute_dtype
+                    )
+            elif algo == "int8":
+                from eovax.kernels.qconv import int8_conv3x3, should_use_int8
+
+                if should_use_int8(
+                    x.shape, kernel.shape, (1, 1), self.policy.compute_dtype
+                ):
+                    return int8_conv3x3(
+                        x, kernel, bias, compute_dtype=self.policy.compute_dtype
+                    )
         return conv(x)
 
     @nn.compact
