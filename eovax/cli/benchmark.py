@@ -45,6 +45,10 @@ def main(argv=None) -> None:
     parser.add_argument("--output", default=None)
     parser.add_argument("--config", default=None, help="optional model_config.yaml")
     parser.add_argument("--ckpt", default=None)
+    parser.add_argument(
+        "--precision", default="16-mixed",
+        help="'32-true', '16-mixed' (bf16, default), or 'int8' (W8A8 body convs)",
+    )
     args = parser.parse_args(argv)
 
     enable_compile_cache()
@@ -53,21 +57,22 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig
-    from eovax.core.precision import DEFAULT_POLICY
+    from eovax.core.precision import policy_from_name
     from eovax.data.sen2naip import SEN2NAIP_WVS
     from eovax.models.eo_flux_vae import EOFluxVAE
     from eovax.models.sr_diffusion import DDIMSampler, RectifiedSchedule, SimpleDenoiser
     from eovax.models.unet import UNet
 
+    policy = policy_from_name(args.precision)
     if args.config:
-        model = EOFluxVAE.from_config(args.config, args.ckpt, policy=DEFAULT_POLICY)
+        model = EOFluxVAE.from_config(args.config, args.ckpt, policy=policy)
     else:
         stem = StemConfig(num_layers=4, wv_planes=256)
         cfg = VAEConfig(
             encoder=EncoderConfig(in_channels=4, stem=stem),
             decoder=DecoderConfig(out_ch=4, stem=stem),
         )
-        model = EOFluxVAE(cfg, policy=DEFAULT_POLICY)
+        model = EOFluxVAE(cfg, policy=policy)
 
     z = model.config.encoder.z_channels
     wvs = jnp.asarray(SEN2NAIP_WVS)
@@ -81,7 +86,7 @@ def main(argv=None) -> None:
     # SR denoiser (latent-space UNet per eo_vae_latent.yaml:32-48).
     unet = UNet(in_channels=z, out_channels=z, cond_channels=z,
                 hid_channels=(256, 128, 64), hid_blocks=(3, 3, 3),
-                policy=DEFAULT_POLICY)
+                policy=policy)
     x0 = jnp.zeros((args.batch, latent_hw, latent_hw, z))
     sr_params = unet.init(jax.random.PRNGKey(0), x0, jnp.zeros((args.batch,)), x0)["params"]
 
@@ -105,7 +110,9 @@ def main(argv=None) -> None:
         def loop(a0, n):
             def it(_, s):
                 out = body(a0 + s.astype(a0.dtype))
-                return jnp.sum(jnp.ravel(out)[:8].astype(jnp.float32)) * 1e-20
+                # full-tensor reduction: a sliced reduction would let XLA
+                # narrow norm-free bodies to the few needed outputs.
+                return jnp.mean(out.astype(jnp.float32)) * 1e-20
 
             return jax.lax.fori_loop(0, n, it, jnp.zeros((), jnp.float32))
 
