@@ -45,9 +45,9 @@ class _TimeResBlock(nn.Module):
         h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-6,
                          dtype=p.norm_dtype, name="norm1")(x)
         h = jax.nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                    precision=p.precision, name="conv1")(p.cast_to_compute(h))
+        from eovax.nn.blocks import policy_conv3x3
+
+        h = policy_conv3x3(self, p.cast_to_compute(h), self.out_ch, "conv1", p)
 
         # FiLM-style time modulation.
         scale_shift = nn.Dense(2 * self.out_ch, dtype=jnp.float32, name="temb_proj")(
@@ -58,11 +58,9 @@ class _TimeResBlock(nn.Module):
                          dtype=p.norm_dtype, name="norm2")(h)
         h = h * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
         h = jax.nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                    precision=p.precision,
-                    kernel_init=nn.initializers.zeros, name="conv2")(
-            p.cast_to_compute(h)
+        h = policy_conv3x3(
+            self, p.cast_to_compute(h), self.out_ch, "conv2", p,
+            kernel_init=nn.initializers.zeros,
         )
         if x.shape[-1] != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1), dtype=p.compute_dtype,

@@ -44,6 +44,48 @@ def _conv(features: int, kernel: int, stride: int, padding, policy: Policy, name
     )
 
 
+def policy_conv3x3(
+    module: nn.Module,
+    x: jax.Array,
+    features: int,
+    name: str,
+    policy: Policy,
+    kernel_init=None,
+) -> jax.Array:
+    """Declare a 3×3 stride-1 SAME conv (standard nn.Conv parameter
+    layout/names) and apply it via the policy's conv algorithm —
+    "direct" (XLA), "winograd", or "int8" (W8A8 MXU, inference only).
+    Callable from any compact module; used by the VAE ResnetBlock and the
+    SR UNet's time-conditioned blocks."""
+    kw = dict(
+        features=features,
+        kernel_size=(3, 3),
+        padding=((1, 1), (1, 1)),
+        precision=policy.precision,
+        dtype=policy.compute_dtype,
+        param_dtype=policy.param_dtype,
+        name=name,
+    )
+    if kernel_init is not None:
+        kw["kernel_init"] = kernel_init
+    conv = nn.Conv(**kw)
+    algo = policy.conv_algorithm
+    if not module.is_initializing() and algo != "direct":
+        params = module.get_variable("params", name)
+        kernel, bias = params["kernel"], params["bias"]
+        if algo == "winograd":
+            from eovax.kernels.winograd import should_use_winograd, winograd_conv3x3
+
+            if should_use_winograd(x.shape, kernel.shape, (1, 1), policy.compute_dtype):
+                return winograd_conv3x3(x, kernel, bias, compute_dtype=policy.compute_dtype)
+        elif algo == "int8":
+            from eovax.kernels.qconv import int8_conv3x3, should_use_int8
+
+            if should_use_int8(x.shape, kernel.shape, (1, 1), policy.compute_dtype):
+                return int8_conv3x3(x, kernel, bias, compute_dtype=policy.compute_dtype)
+    return conv(x)
+
+
 def _group_norm(policy: Policy, name: str):
     """GroupNorm with fp32 statistics, output cast back to the compute
     dtype — keeps the big spatial activations in bf16 between ops (the
@@ -198,30 +240,7 @@ class ResnetBlock(nn.Module):
     policy: Policy = FULL_PRECISION
 
     def _conv3x3(self, x: jax.Array, name: str) -> jax.Array:
-        conv = _conv(self.out_channels, 3, 1, ((1, 1), (1, 1)), self.policy, name)
-        algo = self.policy.conv_algorithm
-        if not self.is_initializing() and algo != "direct":
-            params = self.get_variable("params", name)
-            kernel, bias = params["kernel"], params["bias"]
-            if algo == "winograd":
-                from eovax.kernels.winograd import should_use_winograd, winograd_conv3x3
-
-                if should_use_winograd(
-                    x.shape, kernel.shape, (1, 1), self.policy.compute_dtype
-                ):
-                    return winograd_conv3x3(
-                        x, kernel, bias, compute_dtype=self.policy.compute_dtype
-                    )
-            elif algo == "int8":
-                from eovax.kernels.qconv import int8_conv3x3, should_use_int8
-
-                if should_use_int8(
-                    x.shape, kernel.shape, (1, 1), self.policy.compute_dtype
-                ):
-                    return int8_conv3x3(
-                        x, kernel, bias, compute_dtype=self.policy.compute_dtype
-                    )
-        return conv(x)
+        return policy_conv3x3(self, x, self.out_channels, name, self.policy)
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array | None = None) -> jax.Array:
