@@ -119,3 +119,29 @@ def test_export_cli(tmp_path):
     served = ServedModel.load(str(out))
     x = np.zeros((1, 3, 32, 32), np.float32)
     assert served.reconstruct(x, modality="S2RGB").shape == (1, 3, 32, 32)
+
+
+@pytest.mark.slow
+def test_export_int8_artifact(tmp_path):
+    """`--precision int8` exports a quantized-graph artifact (int8 convs
+    serialize through StableHLO) that loads and serves."""
+    import yaml
+
+    from eovax.cli.export import main as export_main
+    from eovax.serving import ServedModel
+
+    enc = {"z_channels": 8, "resolution": 32, "in_channels": 3, "ch": 128,
+           "ch_mult": [1, 2], "num_res_blocks": 1, "use_dynamic_ops": True,
+           "dynamic_conv_kwargs": {"num_layers": 1, "wv_planes": 64}}
+    dec = dict(enc); dec.pop("in_channels"); dec["out_ch"] = 3
+    cfg_path = tmp_path / "model_config.yaml"
+    cfg_path.write_text(yaml.safe_dump({"model": {"encoder": enc, "decoder": dec}}))
+    out = tmp_path / "artifact"
+    export_main([
+        "--config", str(cfg_path), "--output", str(out),
+        "--modalities", "S2RGB", "--resolution", "32", "--precision", "int8",
+    ])
+    served = ServedModel.load(str(out))
+    x = np.random.default_rng(0).standard_normal((2, 3, 32, 32)).astype(np.float32)
+    y = np.asarray(served.reconstruct(x, modality="S2RGB"))
+    assert y.shape == (2, 3, 32, 32) and np.isfinite(y).all()
