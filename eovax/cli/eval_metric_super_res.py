@@ -21,7 +21,6 @@ import numpy as np
 
 from eovax.cli.common import enable_compile_cache
 
-
 def evaluate_sr(
     vae,
     sr_trainer,
@@ -79,7 +78,6 @@ def evaluate_sr(
 
     return {k: float(np.mean(v)) for k, v in agg.items() if v}
 
-
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Evaluate latent-SR quality")
     parser.add_argument("--vae-config", required=True)
@@ -95,13 +93,11 @@ def main(argv=None) -> None:
 
     enable_compile_cache()
 
-    import jax
-
     from eovax.cli.train_super_res import build_denoiser_from_config
     from eovax.core.precision import DEFAULT_POLICY
     from eovax.data.sen2naip import Sen2NaipCrossSensorLatent
     from eovax.models.eo_flux_vae import EOFluxVAE
-    from eovax.train.sr import DiffusionSuperRes, SRTrainState
+    from eovax.train.sr import DiffusionSuperRes
     from eovax.utils.checkpoint import load_variables
 
     vae = EOFluxVAE.from_config(args.vae_config, args.vae_ckpt, policy=DEFAULT_POLICY)
@@ -127,7 +123,6 @@ def main(argv=None) -> None:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics, indent=2))
     print(f"Saved to {out_path}")
-
 
 if __name__ == "__main__":
     main()

@@ -47,7 +47,7 @@ def main(argv=None) -> None:
 
     from eovax.core.precision import DEFAULT_POLICY
     from eovax.models.eo_flux_vae import EOFluxVAE
-    from eovax.utils.image_logger import ImageLogger, _save_png, robust_to_uint8
+    from eovax.utils.image_logger import ImageLogger, _save_png
 
     model = EOFluxVAE.from_config(args.config, args.ckpt, policy=DEFAULT_POLICY)
     logger = ImageLogger(args.out_dir, max_images=args.batch_size)

@@ -23,7 +23,6 @@ Parity pieces:
 
 from __future__ import annotations
 
-import io
 import os
 import random
 import re

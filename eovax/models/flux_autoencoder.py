@@ -23,8 +23,6 @@ from __future__ import annotations
 
 from typing import Any, Literal
 
-import jax
-import jax.numpy as jnp
 
 from eovax.core.config import VAEConfig
 from eovax.core.precision import FULL_PRECISION, Policy
