@@ -26,7 +26,9 @@ def main(argv=None) -> None:
     parser.add_argument("--modalities", nargs="+", default=["S2L2A"])
     parser.add_argument("--resolution", type=int, default=256)
     parser.add_argument(
-        "--precision", default="16-mixed", help="'32-true' or '16-mixed' (bf16)"
+        "--precision", default="16-mixed",
+        help="'32-true', '16-mixed' (bf16, default), or 'int8' — exports the "
+        "W8A8 quantized graph (body convs on the double-rate int8 MXU)",
     )
     args = parser.parse_args(argv)
 

@@ -60,6 +60,13 @@ def main(argv=None) -> None:
     cfg = VAEConfig.from_dict(raw_cfg)
 
     policy = policy_from_name(args.precision)
+    if policy.conv_algorithm != "direct":
+        raise SystemExit(
+            f"--precision {args.precision!r} selects the inference-only "
+            f"{policy.conv_algorithm!r} conv path (zero gradient through "
+            "quantization/transform rounding) — train with '32-true' or "
+            "'16-mixed' and export with the quantized policy afterwards."
+        )
     # training_mode routing (train.py:120-130): FluxAutoencoderKL configs
     # may request flow-refine; --distilled-ckpt without --vae-ckpt forces
     # finetune (reference train.py:126-127).

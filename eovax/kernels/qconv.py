@@ -8,8 +8,9 @@ round-2 notes). This module quantizes the ResnetBlock 3×3 convs (the
 
 - activations: dynamic per-tensor symmetric abs-max → int8 (no
   calibration pass needed; one cheap VPU reduction per conv),
-- weights: per-output-channel symmetric abs-max → int8 (folded by XLA —
-  parameters are constants under jit),
+- weights: per-output-channel symmetric abs-max → int8, recomputed per
+  call (parameters are traced jit arguments in the serving/sampler call
+  sites; the re-quantization is a trivial VPU pass over the kernels),
 - accumulation in int32 on the MXU, dequantized with the combined
   ``s_x · s_w[c]`` scale, bias added in fp32.
 

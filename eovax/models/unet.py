@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from eovax.core.precision import FULL_PRECISION, Policy
+from eovax.nn.blocks import policy_conv3x3
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10_000.0) -> jax.Array:
@@ -45,8 +46,6 @@ class _TimeResBlock(nn.Module):
         h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-6,
                          dtype=p.norm_dtype, name="norm1")(x)
         h = jax.nn.silu(h)
-        from eovax.nn.blocks import policy_conv3x3
-
         h = policy_conv3x3(self, p.cast_to_compute(h), self.out_ch, "conv1", p)
 
         # FiLM-style time modulation.

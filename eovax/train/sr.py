@@ -55,6 +55,7 @@ class DiffusionSuperRes:
 
     def __post_init__(self):
         self.mesh = self.mesh or make_mesh()
+        self._sample_jits: dict = {}  # per sample-tail-shape jitted samplers
         if all(
             v is not None
             for v in (self.final_lr, self.warmup_epochs, self.decay_end_epoch)
@@ -189,12 +190,17 @@ class DiffusionSuperRes:
         array — an eagerly created host-local x1 of the global shape would
         fail to combine with non-addressable shards.
         """
+        cond = jnp.asarray(cond)
+        if cond.shape[0] != shape[0]:
+            raise ValueError(
+                f"sample batch mismatch: shape[0]={shape[0]} vs cond batch "
+                f"{cond.shape[0]}"
+            )
         tail = tuple(shape[1:])
-        cache = self.__dict__.setdefault("_sample_jits", {})
-        if tail not in cache:
+        if tail not in self._sample_jits:
             def _sample(params, rng, cond, _tail=tail):
                 x1 = self.sampler.init(rng, cond.shape[:1] + _tail)
                 return self.sampler(params, x1, cond=cond)
 
-            cache[tail] = jax.jit(_sample)
-        return cache[tail](state.params, jax.random.PRNGKey(seed), jnp.asarray(cond))
+            self._sample_jits[tail] = jax.jit(_sample)
+        return self._sample_jits[tail](state.params, jax.random.PRNGKey(seed), cond)
