@@ -30,6 +30,11 @@ def main(argv=None) -> None:
         help="'32-true', '16-mixed' (bf16, default), or 'int8' — exports the "
         "W8A8 quantized graph (body convs on the double-rate int8 MXU)",
     )
+    parser.add_argument(
+        "--compact-weights", action="store_true",
+        help="store float params as bf16 (halves the weights file; BN "
+        "running stats stay fp32)",
+    )
     args = parser.parse_args(argv)
 
     enable_compile_cache()
@@ -41,11 +46,14 @@ def main(argv=None) -> None:
     model = EOFluxVAE.from_config(
         args.config, args.ckpt, policy=policy_from_name(args.precision)
     )
+    import jax.numpy as jnp
+
     manifest = export_model(
         model,
         args.output,
         modalities=tuple(args.modalities),
         resolution=args.resolution,
+        params_dtype=jnp.bfloat16 if args.compact_weights else None,
     )
     n = len(manifest["functions"])
     print(f"exported {n} functions to {args.output}")

@@ -49,6 +49,7 @@ def export_model(
     modalities: tuple[str, ...] = ("S2L2A",),
     resolution: int = 256,
     functions: tuple[str, ...] = tuple(_FUNCTIONS),
+    params_dtype=None,
 ) -> dict:
     """Export the inference surface of an ``EOFluxVAE`` to ``out_dir``.
 
@@ -56,6 +57,11 @@ def export_model(
     StableHLO file per (function, modality), and ``manifest.json``
     describing signatures. The batch dimension is symbolic — any batch
     size works at load time. Returns the manifest dict.
+
+    ``params_dtype``: optional storage dtype for the float parameter
+    leaves (e.g. ``jnp.bfloat16`` halves the weights file; the exported
+    functions are traced against the stored dtypes, and the compute
+    policy's casts keep the math in the policy dtype).
     """
     from jax import export as jexport
 
@@ -64,6 +70,14 @@ def export_model(
     os.makedirs(out_dir, exist_ok=True)
     core = model.core
     variables = model.variables
+    if params_dtype is not None:
+        # Cast float PARAMS only; batch_stats (the BN running stats that
+        # define the latent-normalization contract) stay fp32.
+        def _cast(v):
+            return v.astype(params_dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
+
+        variables = dict(variables)
+        variables["params"] = jax.tree_util.tree_map(_cast, variables["params"])
     save_variables(os.path.join(out_dir, _PARAMS), variables)
     var_shapes = jax.tree_util.tree_map(
         lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), variables

@@ -145,3 +145,35 @@ def test_export_int8_artifact(tmp_path):
     x = np.random.default_rng(0).standard_normal((2, 3, 32, 32)).astype(np.float32)
     y = np.asarray(served.reconstruct(x, modality="S2RGB"))
     assert y.shape == (2, 3, 32, 32) and np.isfinite(y).all()
+
+
+@pytest.mark.slow
+def test_compact_weights_export(tmp_path):
+    """--compact-weights stores bf16 params (half-size weights file) with
+    fp32 BN stats; the artifact still serves within bf16 tolerance."""
+    import os
+
+    import jax.numpy as jnp
+
+    from eovax.serving import ServedModel, export_model
+
+    model = EOFluxVAE(CFG, seed=0)
+    full = tmp_path / "full"
+    compact = tmp_path / "compact"
+    export_model(model, str(full), modalities=("S2RGB",), resolution=32)
+    export_model(model, str(compact), modalities=("S2RGB",), resolution=32,
+                 params_dtype=jnp.bfloat16)
+    assert (
+        os.path.getsize(compact / "params.msgpack")
+        < 0.6 * os.path.getsize(full / "params.msgpack")
+    )
+    served = ServedModel.load(str(compact))
+    # BN stats stayed fp32
+    assert served._variables["batch_stats"]["bn"]["mean"].dtype == jnp.float32
+    g = np.random.default_rng(0)
+    x = g.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    y = np.asarray(served.reconstruct(x, modality="S2RGB"), np.float32)
+    ref = np.asarray(ServedModel.load(str(full)).reconstruct(x, modality="S2RGB"),
+                     np.float32)
+    rms = float(np.sqrt(np.mean((y - ref) ** 2)) / (np.std(ref) + 1e-8))
+    assert np.isfinite(y).all() and rms < 0.05, rms
