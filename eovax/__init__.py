@@ -16,8 +16,10 @@ Subpackages
 - ``eovax.train``    training loops (stage 1 distill, stage 2 finetune,
                      stage 3 super-resolution)
 - ``eovax.parallel`` device mesh + sharding rules
-- ``eovax.kernels``  Pallas TPU kernels for hot ops
-- ``eovax.utils``    checkpoint converters, metrics, logging
+- ``eovax.kernels``  Pallas TPU kernels for hot ops + int8 serving convs
+- ``eovax.serving``  StableHLO export / model-code-free serving
+- ``eovax.utils``    checkpoint converters, metrics, logging, tiled
+                     large-scene inference
 """
 
 __version__ = "0.1.0"
