@@ -123,13 +123,33 @@ def export_model(
 
 class ServedModel:
     """Runs an exported artifact — no eovax model code involved beyond the
-    weights codec. Functions lazily deserialize on first use."""
+    weights codec. Functions lazily deserialize on first use.
 
-    def __init__(self, out_dir: str, manifest: dict, variables: Any):
+    Multi-chip: ``served.with_mesh(make_mesh())`` returns a view that runs
+    every call data-parallel over the mesh — params replicated once,
+    batches sharded on axis 0, the exported StableHLO function executed
+    inside jit (exported functions are traceable; XLA partitions them like
+    any other computation). Results are bit-identical to the single-device
+    path (verified in tests/test_serving.py)."""
+
+    def __init__(self, out_dir: str, manifest: dict, variables: Any, mesh=None):
         self._dir = out_dir
         self._manifest = manifest
         self._variables = variables
         self._fns: dict[str, Any] = {}
+        self._mesh = mesh
+        self._sharded_calls: dict[str, Any] = {}
+
+    def with_mesh(self, mesh) -> "ServedModel":
+        """Data-parallel serving view over a `jax.sharding.Mesh` (1-D)."""
+        from eovax.parallel.mesh import replicated_sharding
+
+        replicated = jax.tree_util.tree_map(
+            lambda v: jax.device_put(v, replicated_sharding(mesh)), self._variables
+        )
+        view = ServedModel(self._dir, self._manifest, replicated, mesh=mesh)
+        view._fns = self._fns  # share deserialized functions
+        return view
 
     @classmethod
     def load(cls, out_dir: str, template_variables: Any | None = None) -> "ServedModel":
@@ -168,7 +188,21 @@ class ServedModel:
 
     def _call(self, name: str, x, modality: str):
         exp = self._fn(name, modality)
-        return exp.call(self._variables, jnp.asarray(x, jnp.float32))
+        x = jnp.asarray(x, jnp.float32)
+        if self._mesh is None:
+            return exp.call(self._variables, x)
+        from eovax.parallel.mesh import DATA_AXIS, batch_sharding
+
+        key = f"{name}.{modality}"
+        if key not in self._sharded_calls:
+            self._sharded_calls[key] = jax.jit(exp.call)
+        n = self._mesh.shape[DATA_AXIS]
+        sharding = (
+            batch_sharding(self._mesh) if x.shape[0] % n == 0 else None
+        )
+        if sharding is not None:
+            x = jax.device_put(x, sharding)
+        return self._sharded_calls[key](self._variables, x)
 
     def reconstruct(self, x, modality: str = "S2L2A"):
         return self._call("reconstruct", x, modality)

@@ -5,7 +5,13 @@ Builds the flagship EO-VAE from a config dict, reconstructs a random S2RGB
 patch, and round-trips the normalized spatial latent.
 """
 
+import os
+import sys
+
 import numpy as np
+
+if __package__ in (None, ""):  # `python examples/example.py` from anywhere
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from eovax import EOFluxVAE
 from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig

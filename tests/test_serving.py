@@ -177,3 +177,33 @@ def test_compact_weights_export(tmp_path):
                      np.float32)
     rms = float(np.sqrt(np.mean((y - ref) ** 2)) / (np.std(ref) + 1e-8))
     assert np.isfinite(y).all() and rms < 0.05, rms
+
+
+@pytest.mark.slow
+def test_with_mesh_data_parallel_serving(artifact):
+    """Exported StableHLO functions run data-parallel over the 8-device
+    mesh (params replicated, batch sharded) with identical results."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from eovax.parallel.mesh import DATA_AXIS, make_mesh
+    from eovax.serving import ServedModel
+
+    _, out, _ = artifact
+    served = ServedModel.load(out)
+    mesh = make_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+    sharded = served.with_mesh(mesh)
+
+    g = np.random.default_rng(3)
+    x = g.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    y = sharded.reconstruct(x, modality="S2RGB")
+    assert y.sharding.spec == P(DATA_AXIS)
+    ref = np.asarray(served.reconstruct(x, modality="S2RGB"))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5, rtol=2e-5)
+
+    # non-divisible batch falls back to an unsharded input (still correct)
+    x3 = g.standard_normal((3, 3, 32, 32)).astype(np.float32)
+    y3 = np.asarray(sharded.reconstruct(x3, modality="S2RGB"))
+    ref3 = np.asarray(served.reconstruct(x3, modality="S2RGB"))
+    np.testing.assert_allclose(y3, ref3, atol=2e-5, rtol=2e-5)
