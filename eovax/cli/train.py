@@ -60,12 +60,12 @@ def main(argv=None) -> None:
     cfg = VAEConfig.from_dict(raw_cfg)
 
     policy = policy_from_name(args.precision)
-    if policy.conv_algorithm != "direct":
+    if policy.conv_algorithm == "int8":
         raise SystemExit(
             f"--precision {args.precision!r} selects the inference-only "
-            f"{policy.conv_algorithm!r} conv path (zero gradient through "
-            "quantization/transform rounding) — train with '32-true' or "
-            "'16-mixed' and export with the quantized policy afterwards."
+            "int8 conv path (zero gradient through the round() "
+            "quantization) — train with '32-true' or '16-mixed' and "
+            "export with the quantized policy afterwards."
         )
     # training_mode routing (train.py:120-130): FluxAutoencoderKL configs
     # may request flow-refine; --distilled-ckpt without --vae-ckpt forces

@@ -36,17 +36,8 @@ def quantize_symmetric(x: jax.Array, axis=None) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
-def int8_conv3x3(
-    x: jax.Array,
-    w: jax.Array,
-    bias: jax.Array | None,
-    *,
-    compute_dtype=jnp.bfloat16,
-) -> jax.Array:
-    """3×3 stride-1 SAME conv with on-the-fly W8A8 quantization.
-
-    ``x``: NHWC activations (bf16/fp32); ``w``: HWIO fp32 parameters.
-    """
+@jax.custom_vjp
+def _int8_conv3x3_core(x: jax.Array, w: jax.Array) -> jax.Array:
     xq, sx = quantize_symmetric(x)  # per-tensor
     wq, sw = quantize_symmetric(w, axis=(0, 1, 2))  # per-out-channel [1,1,1,O]
     y = jax.lax.conv_general_dilated(
@@ -58,7 +49,40 @@ def int8_conv3x3(
         preferred_element_type=jnp.int32,
     )
     scale = (sx.reshape(()) * sw.reshape(1, 1, 1, -1)).astype(jnp.float32)
-    out = y.astype(jnp.float32) * scale
+    return y.astype(jnp.float32) * scale
+
+
+def _int8_fwd(x, w):
+    return _int8_conv3x3_core(x, w), None
+
+
+def _int8_bwd(res, g):
+    raise NotImplementedError(
+        "int8_conv3x3 is inference-only: gradients through the round() "
+        "quantization are zero. Train with the 'direct' conv algorithm "
+        "(DEFAULT_POLICY / '16-mixed') and switch to INT8_POLICY for "
+        "serving/export."
+    )
+
+
+_int8_conv3x3_core.defvjp(_int8_fwd, _int8_bwd)
+
+
+def int8_conv3x3(
+    x: jax.Array,
+    w: jax.Array,
+    bias: jax.Array | None,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """3×3 stride-1 SAME conv with on-the-fly W8A8 quantization.
+
+    ``x``: NHWC activations (bf16/fp32); ``w``: HWIO fp32 parameters.
+    Inference-only: differentiating through it raises (custom_vjp bwd) —
+    silently-zero gradients through round() would otherwise train a
+    broken model from any non-CLI caller.
+    """
+    out = _int8_conv3x3_core(x, w)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(compute_dtype)

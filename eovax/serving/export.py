@@ -129,8 +129,9 @@ class ServedModel:
     every call data-parallel over the mesh — params replicated once,
     batches sharded on axis 0, the exported StableHLO function executed
     inside jit (exported functions are traceable; XLA partitions them like
-    any other computation). Results are bit-identical to the single-device
-    path (verified in tests/test_serving.py)."""
+    any other computation). Results match the single-device path within
+    bf16 tolerance (partitioning reorders reductions/fusions; verified at
+    2e-5 in tests/test_serving.py)."""
 
     def __init__(self, out_dir: str, manifest: dict, variables: Any, mesh=None):
         self._dir = out_dir
@@ -141,13 +142,15 @@ class ServedModel:
         self._sharded_calls: dict[str, Any] = {}
 
     def with_mesh(self, mesh) -> "ServedModel":
-        """Data-parallel serving view over a `jax.sharding.Mesh` (1-D)."""
-        from eovax.parallel.mesh import replicated_sharding
+        """Data-parallel serving view over a 1-D `jax.sharding.Mesh`
+        (any axis name — the batch shards over the mesh's single axis)."""
+        from eovax.parallel.mesh import replicate
 
-        replicated = jax.tree_util.tree_map(
-            lambda v: jax.device_put(v, replicated_sharding(mesh)), self._variables
+        if len(mesh.axis_names) != 1:
+            raise ValueError(f"with_mesh expects a 1-D mesh, got {mesh.axis_names}")
+        view = ServedModel(
+            self._dir, self._manifest, replicate(self._variables, mesh), mesh=mesh
         )
-        view = ServedModel(self._dir, self._manifest, replicated, mesh=mesh)
         view._fns = self._fns  # share deserialized functions
         return view
 
@@ -191,17 +194,18 @@ class ServedModel:
         x = jnp.asarray(x, jnp.float32)
         if self._mesh is None:
             return exp.call(self._variables, x)
-        from eovax.parallel.mesh import DATA_AXIS, batch_sharding
+        from eovax.parallel.mesh import batch_sharding, replicated_sharding
 
         key = f"{name}.{modality}"
         if key not in self._sharded_calls:
             self._sharded_calls[key] = jax.jit(exp.call)
-        n = self._mesh.shape[DATA_AXIS]
-        sharding = (
-            batch_sharding(self._mesh) if x.shape[0] % n == 0 else None
-        )
-        if sharding is not None:
-            x = jax.device_put(x, sharding)
+        axis = self._mesh.axis_names[0]
+        if x.shape[0] % self._mesh.shape[axis] == 0:
+            x = jax.device_put(x, batch_sharding(self._mesh, axis))
+        else:
+            # replicate — leaving x committed elsewhere would clash with
+            # the mesh-committed params inside jit
+            x = jax.device_put(x, replicated_sharding(self._mesh))
         return self._sharded_calls[key](self._variables, x)
 
     def reconstruct(self, x, modality: str = "S2L2A"):

@@ -68,3 +68,15 @@ def test_policy_from_name():
 
     assert policy_from_name("int8") is INT8_POLICY
     assert policy_from_name("w8a8") is INT8_POLICY
+
+
+def test_grad_through_int8_raises():
+    """Inference-only enforcement: differentiating through the quantized
+    conv raises instead of silently producing zero kernel gradients."""
+    import pytest
+
+    g = np.random.default_rng(3)
+    x = jnp.asarray(g.standard_normal((1, 8, 8, 128)), jnp.float32)
+    w = jnp.asarray(g.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(lambda w: jnp.sum(int8_conv3x3(x, w, None)))(w)

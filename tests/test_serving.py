@@ -207,3 +207,24 @@ def test_with_mesh_data_parallel_serving(artifact):
     y3 = np.asarray(sharded.reconstruct(x3, modality="S2RGB"))
     ref3 = np.asarray(served.reconstruct(x3, modality="S2RGB"))
     np.testing.assert_allclose(y3, ref3, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_with_mesh_custom_axis_name(artifact):
+    """with_mesh works for any 1-D mesh axis name and rejects 2-D meshes."""
+    import jax
+    import numpy as np_
+    from jax.sharding import Mesh
+
+    from eovax.serving import ServedModel
+
+    _, out, _ = artifact
+    served = ServedModel.load(out)
+    mesh = Mesh(np_.asarray(jax.devices()), ("batch",))
+    sharded = served.with_mesh(mesh)
+    x = np.zeros((8, 3, 32, 32), np.float32)
+    assert sharded.reconstruct(x, modality="S2RGB").shape == (8, 3, 32, 32)
+
+    devs = np_.asarray(jax.devices()).reshape(4, 2)
+    with pytest.raises(ValueError, match="1-D mesh"):
+        served.with_mesh(Mesh(devs, ("a", "b")))
