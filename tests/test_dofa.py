@@ -194,3 +194,24 @@ def test_dofav2_converter_maps_timm_keys():
         updates["params"]["blocks_1"]["ls1"]["gamma"],
         sd["model.blocks.1.ls1.gamma"],
     )
+
+
+def test_builder_out_indices_match_reference():
+    """Tap defaults pinned to the reference builders
+    (/root/reference/eo_vae/models/dofa.py:597,613,627,641); v3's last tap
+    must stay < depth-1 (forward_lpips iterates blocks[:-1])."""
+    from eovax.models.dofa import (
+        DOFAViTv2,
+        DOFAViTv3,
+        OFAViT,
+        dofa_vit_base_patch16,
+        dofa_vit_large_patch16,
+    )
+
+    assert dofa_vit_base_patch16().out_indices == (4, 6, 10, 11)
+    assert dofa_vit_large_patch16().out_indices == (5, 11, 17, 22)
+    assert OFAViT().out_indices == (5, 11, 17, 22)
+    assert DOFAViTv2().out_indices == (4, 6, 10, 11)
+    v3 = DOFAViTv3()
+    assert v3.out_indices == (5, 11, 17, 22)
+    assert max(v3.out_indices) < v3.depth - 1  # reachable through blocks[:-1]
