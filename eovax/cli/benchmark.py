@@ -40,7 +40,6 @@ def main(argv=None) -> None:
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--resolution", type=int, default=128, help="LR input size")
     parser.add_argument("--iters", type=int, default=50)
-    parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--sr-steps", type=int, default=50)
     parser.add_argument("--output", default=None)
     parser.add_argument("--config", default=None, help="optional model_config.yaml")

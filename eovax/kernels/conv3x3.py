@@ -167,10 +167,10 @@ def conv3x3(x: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Ar
     ``w`` and ``bias`` are cast to ``x.dtype`` (the compute dtype). Falls
     back to the XLA conv when the shape is outside the kernel's envelope.
     """
-    th = _pick_tile_h(x.shape[1], x.shape[2], x.shape[3], w.shape[-1])
-    if th == 0:
+    if not supports_pallas_conv3x3(x.shape, w.shape, (1, 1), x.dtype):
         y = _lax_conv(x, w.astype(x.dtype))
         return y if bias is None else y + bias.astype(y.dtype)
+    th = _pick_tile_h(x.shape[1], x.shape[2], x.shape[3], w.shape[-1])
     return _conv3x3_pallas(x, w.astype(x.dtype), None if bias is None else bias.astype(x.dtype), th)
 
 

@@ -121,6 +121,14 @@ def local_numpy(x) -> np.ndarray:
     if shards[0].data.shape == x.shape:
         # replicated: every shard holds the full array — return one copy
         return np.asarray(shards[0].data)
+    if any(
+        idx != slice(None) for s in shards for idx in s.index[1:]
+    ):
+        raise NotImplementedError(
+            "local_numpy only supports arrays sharded along axis 0 "
+            "(dedupe keys on s.index[0].start; a non-leading split would "
+            "silently drop shards)"
+        )
     by_start = {}
     for s in shards:  # dedupe axis-0 ranges (replication within a range)
         by_start.setdefault(s.index[0].start or 0, s.data)

@@ -34,6 +34,10 @@ def tile_grid(size: int, tile: int, overlap: int) -> list[int]:
     """Start offsets covering ``size`` with ``tile``-sized windows and at
     least ``overlap`` pixels shared between neighbors; the last window is
     clamped flush to the edge."""
+    if not 0 <= overlap < tile:
+        raise ValueError(
+            f"overlap must be in [0, tile); got {overlap} vs tile {tile}"
+        )
     if size <= tile:
         return [0]
     stride = tile - overlap

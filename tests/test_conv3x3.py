@@ -9,11 +9,20 @@ import numpy as np
 import pytest
 
 from eovax.kernels.conv3x3 import (
+    _conv3x3_pallas,
     _lax_conv,
     _pick_tile_h,
     conv3x3,
     supports_pallas_conv3x3,
 )
+
+
+def _pallas_direct(x, k, bias):
+    """Invoke the Pallas kernel directly (bypassing the conv3x3 dispatch,
+    which requires bf16); fp32 interpret mode keeps parity checks exact."""
+    th = _pick_tile_h(x.shape[1], x.shape[2], x.shape[3], k.shape[-1])
+    assert th > 0
+    return _conv3x3_pallas(x, k, bias, th)
 
 
 def _data(b, h, w, ci, co, seed=0):
@@ -26,13 +35,15 @@ def _data(b, h, w, ci, co, seed=0):
 
 def test_forward_matches_lax_conv():
     x, k, bias = _data(1, 16, 16, 128, 128)
-    assert _pick_tile_h(16, 16, 128, 128) > 0  # pallas path, not fallback
     ref = _lax_conv(x, k) + bias
-    got = conv3x3(x, k, bias)
+    got = _pallas_direct(x, k, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
 def test_custom_vjp_matches_lax_grads():
+    # fp32 inputs → the dispatch takes the XLA body, but the custom-VJP
+    # formulas (flipped-kernel dx, linear-transpose dw) are path-independent
+    # and this checks them against autodiff of the plain conv.
     x, k, bias = _data(1, 16, 16, 128, 128, seed=1)
 
     def loss_p(x, k, b):

@@ -115,10 +115,17 @@ def test_real_two_process_training():
     process boundary. Each process feeds different local data; after two
     Stage-2 steps both processes' replicated params must be bit-identical
     (the gradient all-reduce crossed processes) and differ from init."""
+    import socket
     import subprocess
     import sys
     import tempfile
     import os
+
+    # Ephemeral coordinator port: a hardcoded one collides with concurrent
+    # runs/stale processes and the failure mode is a slow opaque timeout.
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
 
     with tempfile.TemporaryDirectory() as td:
         outs = [os.path.join(td, f"proc{i}.txt") for i in range(2)]
@@ -128,7 +135,7 @@ def test_real_two_process_training():
         procs = [
             subprocess.Popen(
                 [sys.executable, "-m", "tests._mp_train_worker",
-                 str(i), "localhost:12356", outs[i]],
+                 str(i), f"localhost:{port}", outs[i]],
                 env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
