@@ -69,6 +69,11 @@ def main(argv=None) -> None:
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--resume-dir", default=None,
+        help="existing experiment dir: reuse it and auto-resume from its "
+        "latest checkpoint (preemption recovery)",
+    )
     args = parser.parse_args(argv)
 
     enable_compile_cache()
@@ -90,9 +95,13 @@ def main(argv=None) -> None:
     exp_dir = logger = image_logger = None
     if not args.debug:
         exp = raw.get("experiment", {})
-        exp_dir = create_experiment_dir(
-            exp.get("exp_dir", "results/exps/sr"), exp.get("experiment_name", "eo-vae-sr")
-        )
+        if args.resume_dir:
+            exp_dir = args.resume_dir
+            os.makedirs(exp_dir, exist_ok=True)
+        else:
+            exp_dir = create_experiment_dir(
+                exp.get("exp_dir", "results/exps/sr"), exp.get("experiment_name", "eo-vae-sr")
+            )
         snapshot_config(args.config, exp_dir)
         logger = CSVLogger(exp_dir)
         from eovax.utils.image_logger import SuperResImageLogger
@@ -124,6 +133,8 @@ def main(argv=None) -> None:
         log_every=trainer_cfg.get("log_every_n_steps", 20),
         logger=logger,
         image_logger=image_logger,
+        ckpt_dir=os.path.join(exp_dir, "checkpoints") if exp_dir else None,
+        ckpt_every=trainer_cfg.get("ckpt_every", SR_STEPS_PER_EPOCH),
         seed=args.seed,
     )
     state = trainer.fit(
@@ -141,6 +152,19 @@ def main(argv=None) -> None:
             {"params": jax.device_get(state.params)},
         )
         print(f"Saved SR model to {exp_dir}/sr-final.msgpack")
+        # Also publish the best-by-val_mse params (ModelCheckpoint
+        # monitor='val_mse' save_top_k=1, train_super_res.py:65-78).
+        best = trainer.restore_best()
+        if best is not None:
+            info = trainer._checkpointer.best_info()
+            save_variables(
+                os.path.join(exp_dir, "sr-best.msgpack"),
+                {"params": jax.device_get(best.params)},
+            )
+            print(
+                f"Saved best SR model (val_mse={info['metric']:.6g} "
+                f"@ step {info['step']}) to {exp_dir}/sr-best.msgpack"
+            )
 
 
 if __name__ == "__main__":

@@ -51,6 +51,13 @@ class DiffusionSuperRes:
     log_every: int = 20
     logger: Any = None
     image_logger: Any = None  # utils.image_logger.SuperResImageLogger
+    # Durability (reference ModelCheckpoint(monitor='val_mse', save_top_k=1)
+    # + save_last resume, /root/reference/train_super_res.py:65-78): orbax
+    # step checkpoints every ckpt_every steps under ckpt_dir, auto-resume
+    # from the latest on fit(), best-by-val_mse under ckpt_dir/best.
+    ckpt_dir: str | None = None
+    ckpt_every: int = 0
+    monitor: str = "val_mse"
     seed: int = 0
 
     def __post_init__(self):
@@ -78,6 +85,7 @@ class DiffusionSuperRes:
 
         denoiser = self.denoiser
         tx = self.tx
+        schedule = self.schedule
 
         @jax.jit
         def train_step(state, hr, lr_cond, rng):
@@ -90,9 +98,13 @@ class DiffusionSuperRes:
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            logs = {"train_loss": loss}
+            if callable(schedule):
+                # LearningRateMonitor equivalent (train_super_res.py:77).
+                logs["lr"] = schedule(state.step)
             return (
                 state.replace(step=state.step + 1, params=params, opt_state=opt_state),
-                {"train_loss": loss},
+                logs,
             )
 
         @jax.jit
@@ -121,6 +133,13 @@ class DiffusionSuperRes:
         val_every: int = 0,
         state: SRTrainState | None = None,
     ) -> SRTrainState:
+        if state is None and self.ckpt_dir:
+            # Auto-resume from the latest saved step (preemption recovery —
+            # the reference's ModelCheckpoint(save_last=True) + manual
+            # --ckpt flow, train_super_res.py:65-78).
+            state = self.restore_checkpoint()
+            if state is not None:
+                print(f"[sr] resumed from checkpoint at step {int(state.step)}")
         state = state if state is not None else self.init_state()
         t0 = time.time()
         # Host-side resume-aware counter (fetching state.step per iteration
@@ -145,8 +164,13 @@ class DiffusionSuperRes:
                 scalars["steps_per_sec"] = (i + 1) / max(time.time() - t0, 1e-9)
                 if self.logger is not None:
                     self.logger.log(global_step, scalars)
+            if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
+                self.save_checkpoint(state)
             if val_every and val_iter_factory and (i + 1) % val_every == 0:
                 self.validate(state, val_iter_factory())
+        if self.ckpt_dir:
+            self.save_checkpoint(state)
+            self._checkpointer.wait()  # flush pending async writes
         return state
 
     def validate(
@@ -180,7 +204,46 @@ class DiffusionSuperRes:
         result = {"val_mse": float(np.mean(mses))} if mses else {}
         if self.logger is not None and result:
             self.logger.log(int(state.step), result)
+        if self.ckpt_dir and self.monitor and self.monitor in result:
+            if self._checkpointer.save_best(
+                int(state.step), state, result[self.monitor], monitor=self.monitor
+            ):
+                print(
+                    f"[sr] new best {self.monitor}={result[self.monitor]:.6g} "
+                    f"at step {int(state.step)}"
+                )
         return result
+
+    # -- io --------------------------------------------------------------------
+
+    @property
+    def _checkpointer(self):
+        if getattr(self, "_ckptr", None) is None:
+            from eovax.utils.checkpoint import TrainCheckpointer
+
+            self._ckptr = TrainCheckpointer(self.ckpt_dir)
+        return self._ckptr
+
+    def save_checkpoint(self, state: SRTrainState) -> None:
+        """Async step-managed save (blocks only for the device→host copy)."""
+        self._checkpointer.save(int(state.step), state)
+
+    def restore_checkpoint(self) -> SRTrainState | None:
+        """Restore the latest saved step (None if the dir is empty)."""
+        template = jax.device_get(self.init_state())
+        restored = self._checkpointer.restore_latest(template)
+        if restored is None:
+            return None
+        return replicate(restored, self.mesh)
+
+    def restore_best(self) -> SRTrainState | None:
+        """Best-by-``monitor`` state (None if validate never saved one) —
+        ModelCheckpoint(monitor='val_mse', save_top_k=1) equivalent."""
+        template = jax.device_get(self.init_state())
+        restored = self._checkpointer.restore_best(template)
+        if restored is None:
+            return None
+        return replicate(restored, self.mesh)
 
     def sample(self, state: SRTrainState, shape, cond, seed: int = 0) -> jax.Array:
         """Full DDIM sampling (super_res.py:146-158).

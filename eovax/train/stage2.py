@@ -337,6 +337,10 @@ class Stage2Trainer:
     val_every: int = 0
     ckpt_dir: str | None = None
     ckpt_every: int = 0
+    # Monitored-metric best checkpoint (reference ModelCheckpoint(
+    # monitor='val/loss_rec', save_top_k=1), train.py:155-162). Saved to
+    # ckpt_dir/best whenever validate() improves on the stored best.
+    monitor: str = "val/loss_rec"
     mesh: Any = None
     log_every: int = 100
     logger: Any = None
@@ -553,6 +557,14 @@ class Stage2Trainer:
         means = {k: float(np.mean(v)) for k, v in agg.items()}
         if self.logger is not None and means:
             self.logger.log(int(state.step), means)
+        if self.ckpt_dir and self.monitor and self.monitor in means:
+            if self._checkpointer.save_best(
+                int(state.step), state, means[self.monitor], monitor=self.monitor
+            ):
+                print(
+                    f"[stage2] new best {self.monitor}={means[self.monitor]:.6g} "
+                    f"at step {int(state.step)}"
+                )
         return means
 
     # -- io ----------------------------------------------------------------------
@@ -574,6 +586,15 @@ class Stage2Trainer:
         """Restore the latest saved step (None if the dir is empty)."""
         template = jax.device_get(self.init_state())
         restored = self._checkpointer.restore_latest(template)
+        if restored is None:
+            return None
+        return replicate(restored, self.mesh)
+
+    def restore_best(self) -> TrainState | None:
+        """Best-by-monitored-metric state (None if validate never saved
+        one) — the reference's best-`val/loss_rec` checkpoint."""
+        template = jax.device_get(self.init_state())
+        restored = self._checkpointer.restore_best(template)
         if restored is None:
             return None
         return replicate(restored, self.mesh)

@@ -13,6 +13,7 @@ Two formats:
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -62,12 +63,16 @@ class TrainCheckpointer:
     auto-resume the reference gets from ModelCheckpoint(save_last=True)
     (/root/reference/train.py:155-162, SURVEY.md §5)."""
 
-    def __init__(self, directory: str, max_to_keep: int = 2):
+    def __init__(self, directory: str, max_to_keep: int = 2, mode: str = "min"):
         import orbax.checkpoint as ocp
 
+        if mode not in ("min", "max"):
+            raise ValueError(f"mode must be 'min' or 'max', got {mode!r}")
         self._ocp = ocp
+        self._dir = os.path.abspath(directory)
+        self._mode = mode
         self._mgr = ocp.CheckpointManager(
-            os.path.abspath(directory),
+            self._dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, enable_async_checkpointing=True
             ),
@@ -92,6 +97,56 @@ class TrainCheckpointer:
 
     def close(self) -> None:
         self._mgr.close()
+
+    # -- monitored-metric "best" checkpoint (ModelCheckpoint(monitor=...,
+    # save_top_k=1) equivalent: /root/reference/train.py:155-162,
+    # /root/reference/train_super_res.py:65-78). Lives in a `best/`
+    # sibling of the step dirs; a metric.json records what & when. -------
+
+    @property
+    def _best_dir(self) -> str:
+        return os.path.join(self._dir, "best")
+
+    @property
+    def _best_meta_path(self) -> str:
+        return os.path.join(self._dir, "best_metric.json")
+
+    def best_info(self) -> dict | None:
+        """{'step': int, 'metric': float, 'monitor': str} of the stored
+        best checkpoint, or None. Survives restarts (read from disk)."""
+        try:
+            with open(self._best_meta_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def save_best(self, step: int, state: Any, metric: float,
+                  monitor: str = "metric") -> bool:
+        """Persist ``state`` as the best checkpoint iff ``metric`` improves
+        on the stored best (strictly, in ``mode`` direction). Synchronous —
+        best saves happen at validation cadence, not per step. Returns
+        whether a save happened."""
+        prev = self.best_info()
+        if prev is not None:
+            better = (metric < prev["metric"]) if self._mode == "min" else (
+                metric > prev["metric"])
+            if not better:
+                return False
+        with self._ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(self._best_dir, state, force=True)
+        tmp = self._best_meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"step": int(step), "metric": float(metric),
+                       "monitor": monitor, "mode": self._mode}, f)
+        os.replace(tmp, self._best_meta_path)
+        return True
+
+    def restore_best(self, template: Any) -> Any | None:
+        """The best-by-monitored-metric state (None if never saved)."""
+        if self.best_info() is None or not os.path.isdir(self._best_dir):
+            return None
+        with self._ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(self._best_dir, _abstract_like(template))
 
 
 def load_orbax(path: str, template: Any) -> Any:

@@ -106,3 +106,138 @@ def test_encode_latents_reconstruction_check(tmp_path):
     path, mse = reconstruction_check(model, batch, wvs, str(tmp_path))
     assert os.path.exists(path)
     assert np.isfinite(mse)
+
+
+def test_best_metric_checkpointer(tmp_path):
+    """save_best keeps only strictly-improving states (mode='min') and the
+    metadata survives a process restart (read back from disk)."""
+    ckptr = TrainCheckpointer(str(tmp_path), mode="min")
+    s1 = {"step": np.int32(1), "w": np.full(4, 1.0, np.float32)}
+    assert ckptr.save_best(1, s1, 0.5, monitor="val_mse")
+    s2 = {"step": np.int32(2), "w": np.full(4, 2.0, np.float32)}
+    assert not ckptr.save_best(2, s2, 0.7, monitor="val_mse")  # worse
+    assert not ckptr.save_best(2, s2, 0.5, monitor="val_mse")  # tie: no save
+    info = ckptr.best_info()
+    assert info["step"] == 1 and info["metric"] == 0.5 and info["monitor"] == "val_mse"
+    restored = ckptr.restore_best(s1)
+    np.testing.assert_array_equal(restored["w"], s1["w"])
+    ckptr.close()
+
+    # Fresh instance on the same dir (restart): best survives, and a real
+    # improvement replaces it.
+    ckptr2 = TrainCheckpointer(str(tmp_path), mode="min")
+    assert ckptr2.best_info()["step"] == 1
+    s3 = {"step": np.int32(3), "w": np.full(4, 3.0, np.float32)}
+    assert ckptr2.save_best(3, s3, 0.25, monitor="val_mse")
+    np.testing.assert_array_equal(ckptr2.restore_best(s1)["w"], s3["w"])
+    assert ckptr2.restore_latest(s1) is None  # best is separate from steps
+    ckptr2.close()
+
+
+@pytest.mark.slow
+def test_stage2_best_val_selection(tmp_path):
+    """After a run where val worsens late, restore_best returns the
+    earlier (better) params — reference ModelCheckpoint(
+    monitor='val/loss_rec', save_top_k=1), train.py:155-162."""
+    from eovax.data.synthetic import synthetic_terramesh_batches
+    from eovax.train.stage2 import Stage2Trainer
+
+    def val_batches():
+        return synthetic_terramesh_batches(
+            batch_size=4, target_size=(32, 32), modalities=("S2RGB",),
+            seed=5, num_batches=2,
+        )
+
+    model = EOFluxVAE(CFG, seed=0)
+    loss = EOConsistencyLoss(pixel_weight=1.0, msssim_weight=0.0)
+    tr = Stage2Trainer(
+        model=model, loss_obj=loss, cfg=CFG, max_steps=4, log_every=0,
+        ckpt_dir=str(tmp_path / "ckpt"), seed=0,
+    )
+    good = tr.init_state()
+    tr.validate(good, val_batches(), max_batches=2)
+    assert tr._checkpointer.best_info() is not None
+
+    # "Late" state with wrecked params: val/loss_rec degrades, so the
+    # best checkpoint must NOT be replaced.
+    bad = good.replace(
+        step=good.step + 3,
+        params=jax.tree_util.tree_map(lambda p: p * 10.0, good.params),
+    )
+    means_bad = tr.validate(bad, val_batches(), max_batches=2)
+    info = tr._checkpointer.best_info()
+    assert info["step"] == int(good.step)
+    assert means_bad["val/loss_rec"] > info["metric"]
+
+    best = tr.restore_best()
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(best.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(good.params)[0]),
+    )
+    assert int(best.step) == int(good.step)
+
+
+@pytest.mark.slow
+def test_sr_checkpoint_resume_and_best(tmp_path, capsys):
+    """Stage-3 durability (VERDICT r2 top item): kill a run mid-flight,
+    rerun → resumes at the saved step; best-by-val_mse is tracked and
+    restore_best returns it after val worsens.
+    Ref /root/reference/train_super_res.py:65-78."""
+    import jax.numpy as jnp
+
+    from eovax.core.precision import FULL_PRECISION
+    from eovax.models.sr_diffusion import SimpleDenoiser
+    from eovax.models.unet import UNet
+    from eovax.train.sr import DiffusionSuperRes
+
+    unet = UNet(in_channels=4, out_channels=4, cond_channels=4,
+                hid_channels=(16, 16), hid_blocks=(1, 1), policy=FULL_PRECISION)
+    x = jnp.zeros((2, 8, 8, 4))
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)), x)["params"]
+
+    def apply_fn(params, x_t, t, cond):
+        return unet.apply({"params": params}, x_t, t, cond)
+
+    den = SimpleDenoiser(apply_fn=apply_fn)
+    g = np.random.default_rng(0)
+    hr = g.standard_normal((4, 8, 8, 4), dtype=np.float32)
+    batch = {"image_hr": hr, "image_lr": hr}
+
+    def make_trainer():
+        return DiffusionSuperRes(
+            denoiser=den, init_params=params, sampler_steps=2,
+            base_lr=1e-3, log_every=0, seed=0,
+            ckpt_dir=str(tmp_path / "ckpt"), ckpt_every=1,
+        )
+
+    # "Preempted" run: 2 of 4 budgeted steps.
+    t1 = make_trainer()
+    s1 = t1.fit(iter([batch] * 2), max_steps=4)
+    assert int(s1.step) == 2
+    t1._checkpointer.wait()
+
+    # Rerun with the same dir: resumes at 2, finishes the remaining 2.
+    t2 = make_trainer()
+    s2 = t2.fit(iter([batch] * 10), max_steps=4)
+    assert int(s2.step) == 4
+    assert "resumed from checkpoint at step 2" in capsys.readouterr().out
+    # Resumed params came from the checkpoint (they differ from init).
+    l_init = np.asarray(jax.tree_util.tree_leaves(params)[0])
+    l_s2 = np.asarray(jax.device_get(jax.tree_util.tree_leaves(s2.params)[0]))
+    assert not np.allclose(l_init, l_s2)
+
+    # Best-val tracking: good state first, wrecked state later.
+    t2.validate(s2, iter([batch]), max_batches=1)
+    info = t2._checkpointer.best_info()
+    assert info is not None and info["monitor"] == "val_mse"
+    bad = s2.replace(
+        step=s2.step + 5,
+        params=jax.tree_util.tree_map(lambda p: p * 25.0, s2.params),
+    )
+    t2.validate(bad, iter([batch]), max_batches=1)
+    assert t2._checkpointer.best_info()["step"] == int(s2.step)
+    best = t2.restore_best()
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(best.params)[0])),
+        l_s2,
+    )
