@@ -337,3 +337,31 @@ def test_seasonet_datamodule_with_fake_torchgeo(monkeypatch):
     assert batch["wvs"].shape == (12,)
     # /3000 scaling applied: values around 0.5, not 1500.
     assert 0.1 < float(batch["image"].mean()) < 1.0
+
+
+def test_csv_logger_appends_linear(tmp_path):
+    """Rows append in O(1); the file is rewritten only when the column set
+    grows; the final CSV parses with the union of columns."""
+    import csv
+
+    from eovax.utils.logging import CSVLogger
+
+    lg = CSVLogger(str(tmp_path))
+    lg.log(1, {"a": 1.0})
+    sizes = []
+    import os as _os
+    for step in range(2, 12):
+        lg.log(step, {"a": float(step)})
+        sizes.append(_os.path.getsize(lg.path))
+    deltas = np.diff(sizes)
+    # Linear growth: per-row byte cost is bounded and ~constant (a full
+    # rewrite per row would make deltas grow with the row count).
+    assert max(deltas) <= min(deltas) + 4
+
+    # New column → one rewrite; old rows gain an empty cell.
+    lg.log(12, {"a": 12.0, "b": 99.0})
+    with open(lg.path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 12
+    assert rows[0]["b"] == "" and rows[-1]["b"] == "99.0"
+    assert [r["step"] for r in rows] == [str(s) for s in range(1, 13)]
