@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eovax.models.dofa import (
     DOFADiscriminator,
@@ -215,3 +216,91 @@ def test_builder_out_indices_match_reference():
     v3 = DOFAViTv3()
     assert v3.out_indices == (5, 11, 17, 22)
     assert max(v3.out_indices) < v3.depth - 1  # reachable through blocks[:-1]
+
+
+def test_dofav3_converter_maps_dinov3_keys():
+    """A DINOv3-style torch state dict (model.reg_token, model.cls_token,
+    blocks.N.{qkv, ls1/ls2, norms, mlp}) converts onto the v3 flax tree
+    with zero unexpected keys (VERDICT r3 item #6 — the v3 analogue of the
+    v2 converter test)."""
+    from eovax.models.dofa import DOFAViTv3
+    from eovax.utils.torch_convert import convert_state_dict
+
+    vit = DOFAViTv3(img_size=32, patch_size=16, embed_dim=32, depth=3,
+                    num_heads=4, wv_planes=32, out_indices=(1,),
+                    num_reg_tokens=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    wvs = jnp.linspace(0.4, 2.5, 3)
+    template = vit.init(jax.random.PRNGKey(0), x, wvs)
+
+    g = np.random.default_rng(7)
+    d, mlp = 32, 128
+    sd = {}
+    sd["model.cls_token"] = g.standard_normal((1, 1, d)).astype(np.float32)
+    sd["model.reg_token"] = g.standard_normal((1, 2, d)).astype(np.float32)
+    for i in range(3):
+        p = f"model.blocks.{i}."
+        sd[p + "norm1.weight"] = g.standard_normal(d).astype(np.float32)
+        sd[p + "norm1.bias"] = g.standard_normal(d).astype(np.float32)
+        sd[p + "attn.qkv.weight"] = g.standard_normal((3 * d, d)).astype(np.float32)
+        sd[p + "attn.qkv.bias"] = g.standard_normal(3 * d).astype(np.float32)
+        sd[p + "attn.proj.weight"] = g.standard_normal((d, d)).astype(np.float32)
+        sd[p + "attn.proj.bias"] = g.standard_normal(d).astype(np.float32)
+        sd[p + "ls1.gamma"] = g.standard_normal(d).astype(np.float32)
+        sd[p + "ls2.gamma"] = g.standard_normal(d).astype(np.float32)
+        sd[p + "norm2.weight"] = g.standard_normal(d).astype(np.float32)
+        sd[p + "norm2.bias"] = g.standard_normal(d).astype(np.float32)
+        sd[p + "mlp.fc1.weight"] = g.standard_normal((mlp, d)).astype(np.float32)
+        sd[p + "mlp.fc1.bias"] = g.standard_normal(mlp).astype(np.float32)
+        sd[p + "mlp.fc2.weight"] = g.standard_normal((d, mlp)).astype(np.float32)
+        sd[p + "mlp.fc2.bias"] = g.standard_normal(d).astype(np.float32)
+
+    stripped = {k[len("model."):]: v for k, v in sd.items()}
+    updates, report = convert_state_dict(stripped, template)
+    # The FINAL block is unreachable (both forward paths iterate
+    # blocks[:-1], ref dofa.py:548/586), so flax never materializes its
+    # params: its 14 keys are reported unexpected and dropped. Everything
+    # else must convert.
+    assert all(k.startswith("blocks.2.") for k in report.unexpected), (
+        report.unexpected
+    )
+    assert len(report.unexpected) == 14
+    assert len(report.converted) == len(sd) - 14
+    # Register tokens land on the flax param; qkv Linear [O,I] → [I,O].
+    np.testing.assert_allclose(
+        updates["params"]["reg_token"], sd["model.reg_token"]
+    )
+    np.testing.assert_allclose(
+        updates["params"]["blocks_1"]["attn_qkv"]["kernel"],
+        sd["model.blocks.1.attn.qkv.weight"].T,
+    )
+    np.testing.assert_allclose(
+        updates["params"]["blocks_1"]["ls2"]["gamma"],
+        sd["model.blocks.1.ls2.gamma"],
+    )
+
+
+def test_dofav3_rope_coords_flag():
+    """The RoPE coordinate convention is a constructor knob: both
+    conventions run, produce different features with the SAME params
+    (so checkpoint matching is config-only), and an unknown name raises."""
+    from eovax.models.dofa import DOFAViTv3, _rope_2d
+
+    # 4×4 patch grid: RoPE is relative, so the conventions only separate
+    # when their coordinate SPACINGS differ (box: 2/grid, grid: 1); a 2×2
+    # grid makes them coincide up to a global offset that cancels in q·k.
+    kw = dict(img_size=64, patch_size=16, embed_dim=32, depth=2,
+              num_heads=4, wv_planes=32, out_indices=(0,))
+    box = DOFAViTv3(rope_coords="box", **kw)
+    grid = DOFAViTv3(rope_coords="grid", **kw)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 64, 64, 3), dtype=np.float32))
+    wvs = jnp.linspace(0.4, 2.5, 3)
+    variables = box.init(jax.random.PRNGKey(0), x, wvs)
+    f_box = box.apply(variables, x, wvs)
+    f_grid = grid.apply(variables, x, wvs)  # same params, different phases
+    assert f_box.shape == f_grid.shape == (1, 16, 32)
+    assert not np.allclose(np.asarray(f_box), np.asarray(f_grid))
+
+    with pytest.raises(ValueError, match="box.*grid|grid.*box"):
+        _rope_2d(2, 2, 8, coords="diagonal")
