@@ -35,6 +35,16 @@ def main(argv=None) -> None:
         help="store float params as bf16 (halves the weights file; BN "
         "running stats stay fp32)",
     )
+    parser.add_argument(
+        "--calibrate-npz", default=None,
+        help="int8 only: .npz with an 'images' array (NCHW, normalized "
+        "units) used for percentile activation calibration — the artifact "
+        "then carries static act scales instead of per-call abs-max",
+    )
+    parser.add_argument(
+        "--calibrate-percentile", type=float, default=99.9,
+        help="|activation| percentile for --calibrate-npz (default 99.9)",
+    )
     args = parser.parse_args(argv)
 
     enable_compile_cache()
@@ -48,14 +58,38 @@ def main(argv=None) -> None:
     )
     import jax.numpy as jnp
 
+    act_scales = None
+    if args.calibrate_npz:
+        if policy_from_name(args.precision).conv_algorithm != "int8":
+            parser.error("--calibrate-npz requires --precision int8")
+        import numpy as np
+
+        from eovax.serving.export import calibrate_activations
+
+        images = np.load(args.calibrate_npz)["images"]
+        # Calibrate in small batches; a handful of representative tiles
+        # pins the bulk activation range.
+        bs = min(8, images.shape[0])
+        batches = [images[i:i + bs] for i in range(0, images.shape[0], bs)]
+        act_scales = calibrate_activations(
+            model, batches, modality=args.modalities[0],
+            percentile=args.calibrate_percentile,
+        )
+        print(f"calibrated {len(act_scales)} conv activation scales")
+
     manifest = export_model(
         model,
         args.output,
         modalities=tuple(args.modalities),
         resolution=args.resolution,
         params_dtype=jnp.bfloat16 if args.compact_weights else None,
+        act_scales=act_scales,
     )
     n = len(manifest["functions"])
+    q = manifest.get("quantization")
+    if q:
+        print(f"int8: {q['quantized_convs']} convs pre-quantized, "
+              f"activations {q['activations']}")
     print(f"exported {n} functions to {args.output}")
 
 

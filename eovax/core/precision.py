@@ -35,7 +35,15 @@ class Policy:
             "direct" (XLA conv; the default and the training path),
             "winograd" (eovax.kernels.winograd — kept negative result),
             or "int8" (eovax.kernels.qconv: W8A8 on the double-rate int8
-            MXU; inference-only — round() has zero gradient).
+            MXU; inference-only — round() has zero gradient), or
+            "int8-calib" (direct bf16 convs that additionally sow the
+            per-conv activation percentile-amax into a ``calib``
+            collection — the offline calibration pass for static
+            activation scales, see eovax.kernels.qconv).
+        calib_percentile: |activation| percentile recorded by the
+            "int8-calib" pass (99.9 keeps outliers from inflating the
+            int8 range; saturating the top 0.1% costs less than losing
+            resolution on the body of the distribution).
     """
 
     param_dtype: jnp.dtype = jnp.float32
@@ -43,6 +51,7 @@ class Policy:
     norm_dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision | None = jax.lax.Precision.HIGHEST
     conv_algorithm: str = "direct"
+    calib_percentile: float = 99.9
 
     def cast_to_compute(self, x):
         return jnp.asarray(x, self.compute_dtype)
@@ -63,6 +72,10 @@ WINOGRAD_POLICY = dataclasses.replace(DEFAULT_POLICY, conv_algorithm="winograd")
 
 #: DEFAULT_POLICY + W8A8 int8 body convs — quantized inference serving.
 INT8_POLICY = dataclasses.replace(DEFAULT_POLICY, conv_algorithm="int8")
+
+#: Calibration pass for static int8 activation scales: bf16 convs +
+#: percentile-amax sown per conv (run with mutable=["calib"]).
+INT8_CALIB_POLICY = dataclasses.replace(DEFAULT_POLICY, conv_algorithm="int8-calib")
 
 
 def policy_from_name(name: str) -> Policy:

@@ -4,13 +4,18 @@ The v5e MXU runs int8 at 2× the bf16 rate (394 vs 197 TOPS); measured on
 the VAE's conv shapes the int8 path reaches 319 TF/s at 64²·512ch —
 1.83× the bf16 conv (slope-method microbenchmark, ARCHITECTURE.md
 round-2 notes). This module quantizes the ResnetBlock 3×3 convs (the
-~85%-of-FLOPs carriers) on the fly:
+~85%-of-FLOPs carriers):
 
-- activations: dynamic per-tensor symmetric abs-max → int8 (no
-  calibration pass needed; one cheap VPU reduction per conv),
-- weights: per-output-channel symmetric abs-max → int8, recomputed per
-  call (parameters are traced jit arguments in the serving/sampler call
-  sites; the re-quantization is a trivial VPU pass over the kernels),
+- activations: per-tensor symmetric → int8. Either **dynamic** abs-max
+  (no calibration; one VPU reduction per conv) or **static** from a
+  percentile-calibration pass (:func:`calibration_sow` +
+  :func:`act_scales_from_calibration`) — the static scale removes the
+  per-call reduction and saturates outliers at the calibrated range.
+- weights: per-output-channel symmetric abs-max → int8. Either on the
+  fly (fp32 kernels in the tree) or **pre-quantized once at export**
+  (:func:`quantize_params_int8` stores int8 kernels + ``kernel_scale``
+  leaves in the artifact — no per-call re-quantization, half the weight
+  HBM traffic),
 - accumulation in int32 on the MXU, dequantized with the combined
   ``s_x · s_w[c]`` scale, bias added in fp32.
 
@@ -97,3 +102,159 @@ def should_use_int8(x_shape, kernel_shape, strides, compute_dtype) -> bool:
         return False
     ci, co = x_shape[-1], kernel_shape[-1]
     return min(ci, co) >= 128
+
+
+# ---------------------------------------------------------------------------
+# Pre-quantized weights (quantize once at export) + calibrated activations
+# ---------------------------------------------------------------------------
+
+
+def _int8_conv_prequant(x, wq, w_scale, amax):
+    """int8 conv with weights already quantized (int8 HWIO + per-out-channel
+    scale [O]); ``amax`` is the per-tensor activation range — a calibrated
+    static scalar (outliers saturate at ±127) or the dynamic abs-max."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        (1, 1),
+        [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    scale = (sx * w_scale.reshape(1, 1, 1, -1)).astype(jnp.float32)
+    return y.astype(jnp.float32) * scale
+
+
+@jax.custom_vjp
+def _int8_conv3x3_prequant_core(x, wq, w_scale, act_scale):
+    # act_scale None (static Python check — presence is a tree-structure
+    # fact at trace time) → dynamic abs-max; else the calibrated range,
+    # with no wasted per-call reduction.
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32))) if act_scale is None else act_scale
+    return _int8_conv_prequant(x, wq, w_scale, amax)
+
+
+def _int8_pre_fwd(x, wq, w_scale, act_scale):
+    return _int8_conv3x3_prequant_core(x, wq, w_scale, act_scale), None
+
+
+_int8_conv3x3_prequant_core.defvjp(_int8_pre_fwd, lambda res, g: _int8_bwd(res, g))
+
+
+def int8_conv3x3_prequant(
+    x: jax.Array,
+    wq: jax.Array,
+    w_scale: jax.Array,
+    bias: jax.Array | None,
+    *,
+    act_scale: jax.Array | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """3×3 stride-1 SAME conv with export-time-quantized int8 weights.
+
+    No per-call weight quantization (VERDICT r2 weak #2): ``wq`` int8
+    HWIO + ``w_scale`` fp32 [O] come straight from the artifact
+    (:func:`quantize_params_int8`). Activations use the calibrated
+    static scale when ``act_scale`` is given, else dynamic abs-max.
+    Inference-only (backward raises, same guard as :func:`int8_conv3x3`).
+    """
+    if wq.dtype != jnp.int8:
+        raise ValueError(f"prequant conv expects int8 weights, got {wq.dtype}")
+    a = None if act_scale is None else jnp.asarray(act_scale, jnp.float32).reshape(())
+    out = _int8_conv3x3_prequant_core(x, wq, w_scale.reshape(-1), a)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(compute_dtype)
+
+
+#: Module names whose convs are declared through the policy-dispatched
+#: ``policy_conv3x3`` (nn/blocks.py ResnetBlock, models/unet.py blocks).
+#: ONLY these may carry int8 kernels: any other conv (down/upsample,
+#: stems, 1×1) is applied by plain nn.Conv, which would read a raw int8
+#: kernel as numbers — silently wrong output, not an error.
+_PREQUANT_CONV_NAMES = ("conv1", "conv2")
+
+
+def _eligible_kernel(path, leaf) -> bool:
+    """Export-time analogue of :func:`should_use_int8`: the conv input
+    channel count equals the kernel's I dim, so shape eligibility is
+    decidable from the kernel; dispatch reachability from the module
+    name (see ``_PREQUANT_CONV_NAMES`` — stride is invisible here, and
+    e.g. the stride-2 Downsample conv has an identically-shaped kernel)."""
+    return (
+        len(path) > 0
+        and path[-1] in _PREQUANT_CONV_NAMES
+        and hasattr(leaf, "shape")
+        and getattr(leaf, "ndim", 0) == 4
+        and tuple(leaf.shape[:2]) == (3, 3)
+        and min(leaf.shape[2], leaf.shape[3]) >= 128
+    )
+
+
+def quantize_params_int8(params, act_scales=None):
+    """Quantize eligible body-conv kernels ONCE (export time).
+
+    Walks a flax ``params`` tree; every eligible ``kernel`` leaf is
+    replaced by its int8 per-out-channel quantization, with companion
+    leaves ``kernel_scale`` (fp32 [O]) and — when ``act_scales`` provides
+    one for the module path — ``act_scale`` (fp32 scalar, the calibrated
+    amax) stored alongside in the same module dict. The conv dispatch
+    (nn/blocks.py) detects the int8 dtype and takes the prequant path.
+
+    Returns (new_params, n_quantized).
+    """
+    act_scales = act_scales or {}
+    n = 0
+
+    def walk(tree, path):
+        nonlocal n
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if k == "kernel" and _eligible_kernel(path, v):
+                wq, sw = quantize_symmetric(jnp.asarray(v), axis=(0, 1, 2))
+                out["kernel"] = wq
+                out["kernel_scale"] = sw.reshape(-1)
+                amax = act_scales.get(path)
+                if amax is not None:
+                    out["act_scale"] = jnp.asarray(amax, jnp.float32).reshape(())
+                n += 1
+            else:
+                out[k] = walk(v, path + (k,)) if isinstance(v, dict) else v
+        return out
+
+    return walk(params, ()), n
+
+
+def act_scales_from_calibration(calib_trees):
+    """Reduce per-batch calibration collections to static activation
+    scales.
+
+    ``calib_trees``: list of ``calib`` variable collections from
+    ``core.apply(..., mutable=["calib"])`` runs under a policy with
+    ``conv_algorithm="int8-calib"`` — each leaf is a tuple of per-call
+    fp32 percentile-amax scalars (flax ``sow`` appends per call; the
+    percentile itself is ``policy.calib_percentile``). Returns
+    {module_path_tuple: amax} taking the max over batches and calls —
+    the amax such that the percentile mass of every calibration batch is
+    within the non-saturating range.
+    """
+    out: dict = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            else:  # sow leaf: tuple of scalars, name "<conv>_amax"
+                assert k.endswith("_amax"), k
+                key = path + (k[: -len("_amax")],)
+                vals = [float(x) for x in (v if isinstance(v, (tuple, list)) else (v,))]
+                out[key] = max(out.get(key, 0.0), *vals)
+
+    for tree in calib_trees:
+        walk(tree, ())
+    return out

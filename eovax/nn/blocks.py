@@ -79,10 +79,33 @@ def policy_conv3x3(
             if should_use_winograd(x.shape, kernel.shape, (1, 1), policy.compute_dtype):
                 return winograd_conv3x3(x, kernel, bias, compute_dtype=policy.compute_dtype)
         elif algo == "int8":
+            if kernel.dtype == jnp.int8:
+                # Export-time pre-quantized weights: int8 kernel +
+                # kernel_scale (+ optional calibrated act_scale) stored
+                # in the artifact by quantize_params_int8 — no per-call
+                # weight quantization.
+                from eovax.kernels.qconv import int8_conv3x3_prequant
+
+                return int8_conv3x3_prequant(
+                    x, kernel, params["kernel_scale"], bias,
+                    act_scale=params.get("act_scale"),
+                    compute_dtype=policy.compute_dtype,
+                )
             from eovax.kernels.qconv import int8_conv3x3, should_use_int8
 
             if should_use_int8(x.shape, kernel.shape, (1, 1), policy.compute_dtype):
                 return int8_conv3x3(x, kernel, bias, compute_dtype=policy.compute_dtype)
+        elif algo == "int8-calib":
+            from eovax.kernels.qconv import should_use_int8
+
+            if should_use_int8(x.shape, kernel.shape, (1, 1), policy.compute_dtype):
+                # Offline calibration pass: record this conv's activation
+                # percentile-amax (fp32) for static int8 scales, then run
+                # the normal bf16 conv so downstream activations are clean.
+                amax = jnp.percentile(
+                    jnp.abs(x.astype(jnp.float32)), policy.calib_percentile
+                )
+                module.sow("calib", f"{name}_amax", amax)
     return conv(x)
 
 

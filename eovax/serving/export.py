@@ -42,6 +42,40 @@ def _nchw_fn(core, method_name: str, wvs: jax.Array):
     return fn
 
 
+def calibrate_activations(
+    model, batches, modality: str = "S2L2A", percentile: float = 99.9
+) -> dict:
+    """Percentile activation calibration for int8 export.
+
+    Runs a handful of representative batches (NCHW fp32, physical-norm
+    units) through a calibration-policy twin of ``model`` and returns
+    {conv module path: amax} — the static activation scales consumed by
+    ``export_model(act_scales=...)``. A few batches suffice: the scale
+    only needs the bulk |activation| range, not dataset statistics.
+    """
+    import dataclasses as _dc
+
+    from eovax.core.precision import INT8_CALIB_POLICY
+    from eovax.kernels.qconv import act_scales_from_calibration
+    from eovax.models.backbone import EOVAECore
+
+    policy = _dc.replace(INT8_CALIB_POLICY, calib_percentile=percentile)
+    core = EOVAECore(
+        encoder_cfg=model.config.encoder, decoder_cfg=model.config.decoder,
+        policy=policy,
+    )
+    wvs = jnp.asarray(WAVELENGTHS[modality], jnp.float32)
+    trees = []
+    for batch in batches:
+        x = jnp.transpose(jnp.asarray(batch, jnp.float32), (0, 2, 3, 1))
+        _, aux = core.apply(
+            model.variables, x, wvs, method=EOVAECore.reconstruct,
+            mutable=["calib"],
+        )
+        trees.append(jax.device_get(aux["calib"]))
+    return act_scales_from_calibration(trees)
+
+
 def export_model(
     model,
     out_dir: str,
@@ -50,6 +84,7 @@ def export_model(
     resolution: int = 256,
     functions: tuple[str, ...] = tuple(_FUNCTIONS),
     params_dtype=None,
+    act_scales: dict | None = None,
 ) -> dict:
     """Export the inference surface of an ``EOFluxVAE`` to ``out_dir``.
 
@@ -62,6 +97,12 @@ def export_model(
     leaves (e.g. ``jnp.bfloat16`` halves the weights file; the exported
     functions are traced against the stored dtypes, and the compute
     policy's casts keep the math in the policy dtype).
+
+    int8 models (``policy.conv_algorithm == "int8"``) have their body-conv
+    kernels quantized ONCE here — the artifact stores int8 kernels +
+    per-channel ``kernel_scale`` leaves (and, when ``act_scales`` from
+    :func:`calibrate_activations` is given, static ``act_scale`` leaves),
+    so serving does zero per-call weight quantization.
     """
     from jax import export as jexport
 
@@ -70,14 +111,34 @@ def export_model(
     os.makedirs(out_dir, exist_ok=True)
     core = model.core
     variables = model.variables
+    quantized = 0
+    if getattr(model.policy, "conv_algorithm", None) == "int8":
+        from eovax.kernels.qconv import quantize_params_int8
+
+        qparams, quantized = quantize_params_int8(
+            variables["params"], act_scales=act_scales
+        )
+        variables = dict(variables)
+        variables["params"] = qparams
+    elif act_scales:
+        raise ValueError("act_scales requires an int8-policy model")
     if params_dtype is not None:
         # Cast float PARAMS only; batch_stats (the BN running stats that
-        # define the latent-normalization contract) stay fp32.
-        def _cast(v):
+        # define the latent-normalization contract) stay fp32, as do the
+        # int8 kernels (not floating) and their dequantization scales
+        # (kernel_scale / act_scale — rounding the scale would shift
+        # every dequantized weight).
+        _keep = {"kernel_scale", "act_scale"}
+
+        def _cast(path, v):
+            if getattr(path[-1], "key", None) in _keep:
+                return v
             return v.astype(params_dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
 
         variables = dict(variables)
-        variables["params"] = jax.tree_util.tree_map(_cast, variables["params"])
+        variables["params"] = jax.tree_util.tree_map_with_path(
+            _cast, variables["params"]
+        )
     save_variables(os.path.join(out_dir, _PARAMS), variables)
     var_shapes = jax.tree_util.tree_map(
         lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), variables
@@ -94,6 +155,15 @@ def export_model(
         "params": _PARAMS,
         "functions": {},
     }
+    if quantized:
+        manifest["quantization"] = {
+            "weights": "int8-symmetric-per-out-channel",
+            "quantized_convs": quantized,
+            "activations": (
+                "static-percentile-calibrated" if act_scales else
+                "dynamic-per-tensor-absmax"
+            ),
+        }
     for modality in modalities:
         wvs = jnp.asarray(WAVELENGTHS[modality], jnp.float32)
         channels = len(WAVELENGTHS[modality])

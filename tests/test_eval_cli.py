@@ -131,3 +131,52 @@ model:
         assert timing[key] > 0
     assert result["throughput_imgs_per_sec"] > 0
     assert result["parameters"]["total"] > 0
+
+
+@pytest.mark.slow
+def test_benchmark_int8_quality_table(tmp_path, capsys):
+    """--int8-quality emits the per-modality PSNR/MS-SSIM delta table
+    (bf16 vs int8 reconstruction) in JSON (VERDICT r3 item #5)."""
+    import json
+
+    from eovax.cli.benchmark import main as bench_main
+
+    cfg_yaml = tmp_path / "model_config.yaml"
+    cfg_yaml.write_text(
+        """
+model:
+  encoder:
+    z_channels: 8
+    resolution: 96
+    in_channels: 3
+    ch: 128
+    ch_mult: [ 1,2 ]
+    num_res_blocks: 1
+    use_dynamic_ops: True
+    dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}
+  decoder:
+    z_channels: 8
+    resolution: 96
+    out_ch: 3
+    ch: 128
+    ch_mult: [ 1,2 ]
+    num_res_blocks: 1
+    use_dynamic_ops: True
+    dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}
+"""
+    )
+    out = tmp_path / "quality.json"
+    bench_main([
+        "--config", str(cfg_yaml), "--int8-quality",
+        "--modalities", "S2RGB", "S1RTC",
+        "--batch", "1", "--resolution", "96", "--output", str(out),
+    ])
+    result = json.loads(out.read_text())
+    assert result["mode"] == "int8-quality"
+    assert set(result["modalities"]) == {"S2RGB", "S1RTC"}
+    for m in result["modalities"].values():
+        for k in ("psnr_bf16", "psnr_int8", "psnr_delta",
+                  "msssim_bf16", "msssim_int8", "msssim_delta"):
+            assert np.isfinite(m[k]), (k, m)
+    # stdout table printed
+    assert "PSNR bf16" in capsys.readouterr().out

@@ -145,6 +145,95 @@ def test_export_int8_artifact(tmp_path):
     x = np.random.default_rng(0).standard_normal((2, 3, 32, 32)).astype(np.float32)
     y = np.asarray(served.reconstruct(x, modality="S2RGB"))
     assert y.shape == (2, 3, 32, 32) and np.isfinite(y).all()
+    # Weights were quantized ONCE at export: the artifact stores int8
+    # kernels + per-channel scales (no per-call re-quantization), and the
+    # manifest records it.
+    import jax.numpy as jnp
+
+    q = served._manifest["quantization"]
+    assert q["weights"] == "int8-symmetric-per-out-channel"
+    assert q["activations"] == "dynamic-per-tensor-absmax"
+    assert q["quantized_convs"] > 0
+    # Only the policy_conv3x3-dispatched convs (conv1/conv2) carry int8;
+    # down/upsample convs keep fp32 (plain nn.Conv would misread int8).
+    body_convs = [
+        v for p, v in _iter_leaves(served._variables["params"])
+        if p[-1] == "kernel" and p[-2] in ("conv1", "conv2")
+        and getattr(v, "ndim", 0) == 4
+        and v.shape[:2] == (3, 3) and min(v.shape[2], v.shape[3]) >= 128
+    ]
+    assert body_convs and all(v.dtype == jnp.int8 for v in body_convs)
+    other_convs = [
+        v for p, v in _iter_leaves(served._variables["params"])
+        if p[-1] == "kernel" and p[-2] not in ("conv1", "conv2")
+    ]
+    assert all(v.dtype != jnp.int8 for v in other_convs)
+    scales = [
+        v for p, v in _iter_leaves(served._variables["params"])
+        if p[-1] == "kernel_scale"
+    ]
+    assert len(scales) == q["quantized_convs"]
+    assert all(v.dtype == jnp.float32 for v in scales)
+
+
+def _iter_leaves(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _iter_leaves(v, path + (k,))
+    else:
+        yield path, tree
+
+
+@pytest.mark.slow
+def test_export_int8_calibrated_artifact(tmp_path):
+    """Percentile-calibrated int8 export: act_scale leaves land in the
+    artifact, the manifest says so, and serving output stays close to the
+    dynamically-scaled artifact on in-distribution data."""
+    import yaml
+
+    from eovax.cli.export import main as export_main
+    from eovax.serving import ServedModel
+
+    enc = {"z_channels": 8, "resolution": 32, "in_channels": 3, "ch": 128,
+           "ch_mult": [1, 2], "num_res_blocks": 1, "use_dynamic_ops": True,
+           "dynamic_conv_kwargs": {"num_layers": 1, "wv_planes": 64}}
+    dec = dict(enc); dec.pop("in_channels"); dec["out_ch"] = 3
+    cfg_path = tmp_path / "model_config.yaml"
+    cfg_path.write_text(yaml.safe_dump({"model": {"encoder": enc, "decoder": dec}}))
+    g = np.random.default_rng(1)
+    calib = g.standard_normal((8, 3, 32, 32)).astype(np.float32)
+    np.savez(tmp_path / "calib.npz", images=calib)
+
+    out_dyn = tmp_path / "dyn"
+    out_cal = tmp_path / "cal"
+    base = ["--config", str(cfg_path), "--modalities", "S2RGB",
+            "--resolution", "32", "--precision", "int8"]
+    export_main(base + ["--output", str(out_dyn)])
+    export_main(base + ["--output", str(out_cal),
+                        "--calibrate-npz", str(tmp_path / "calib.npz")])
+
+    served = ServedModel.load(str(out_cal))
+    assert served._manifest["quantization"]["activations"] == (
+        "static-percentile-calibrated"
+    )
+    n_act = sum(
+        1 for p, _ in _iter_leaves(served._variables["params"])
+        if p[-1] == "act_scale"
+    )
+    assert n_act == served._manifest["quantization"]["quantized_convs"]
+
+    x = g.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    y_cal = np.asarray(served.reconstruct(x, modality="S2RGB"), np.float32)
+    y_dyn = np.asarray(
+        ServedModel.load(str(out_dyn)).reconstruct(x, modality="S2RGB"),
+        np.float32,
+    )
+    assert np.isfinite(y_cal).all()
+    # Random-weights decoder amplifies the (percentile vs abs-max) scale
+    # difference; on trained checkpoints the per-modality gate is
+    # `cli/benchmark --int8-quality`. Here: same ballpark, not divergent.
+    rms = float(np.sqrt(np.mean((y_cal - y_dyn) ** 2)) / (np.std(y_dyn) + 1e-8))
+    assert rms < 0.35, rms
 
 
 @pytest.mark.slow
