@@ -45,6 +45,19 @@ def main(argv=None) -> None:
         "--calibrate-percentile", type=float, default=99.9,
         help="|activation| percentile for --calibrate-npz (default 99.9)",
     )
+    parser.add_argument(
+        "--sr-config", default=None,
+        help="superres yaml (configs_superres/*): export the stage-3 "
+        "pipeline (encode → DDIM → decode) as one StableHLO function "
+        "instead of the VAE surface",
+    )
+    parser.add_argument(
+        "--sr-ckpt", default=None,
+        help="trained SR denoiser msgpack (sr-best.msgpack) for --sr-config",
+    )
+    parser.add_argument(
+        "--sr-steps", type=int, default=50, help="DDIM steps for --sr-config",
+    )
     args = parser.parse_args(argv)
 
     enable_compile_cache()
@@ -57,6 +70,27 @@ def main(argv=None) -> None:
         args.config, args.ckpt, policy=policy_from_name(args.precision)
     )
     import jax.numpy as jnp
+
+    if args.sr_config:
+        from eovax.cli.train_super_res import build_denoiser_from_config
+        from eovax.core.config import load_yaml
+        from eovax.serving.export import export_sr_pipeline
+
+        raw = load_yaml(args.sr_config)
+        denoiser, sr_params = build_denoiser_from_config(
+            raw["lightning_module"], policy=model.policy
+        )
+        if args.sr_ckpt:
+            from eovax.utils.checkpoint import load_variables
+
+            sr_params = load_variables(args.sr_ckpt, {"params": sr_params})["params"]
+        manifest = export_sr_pipeline(
+            model, denoiser, sr_params, args.output,
+            resolution=args.resolution, steps=args.sr_steps,
+        )
+        print(f"exported SR pipeline ({manifest['ddim_steps']} DDIM steps, "
+              f"{args.resolution}² LR input) to {args.output}")
+        return
 
     act_scales = None
     if args.calibrate_npz:

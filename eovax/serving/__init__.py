@@ -28,4 +28,9 @@ Design notes:
   exported function.
 """
 
-from eovax.serving.export import ServedModel, export_model  # noqa: F401
+from eovax.serving.export import (  # noqa: F401
+    ServedModel,
+    calibrate_activations,
+    export_model,
+    export_sr_pipeline,
+)

@@ -191,6 +191,111 @@ def export_model(
     return manifest
 
 
+def export_sr_pipeline(
+    model,
+    denoiser,
+    sr_params,
+    out_dir: str,
+    *,
+    resolution: int = 128,
+    steps: int = 50,
+    wvs=None,
+    latent_stats: tuple | None = None,
+) -> dict:
+    """Export the stage-3 inference pipeline — encode → ``steps``-step DDIM
+    → decode — as ONE StableHLO function (VERDICT r3 item #7: stage-3
+    deployment without model code, like the VAE surface).
+
+    The DDIM scan is traceable, so the whole pipeline serializes. The
+    artifact's ``params.msgpack`` holds ``{"vae": <model variables>,
+    "sr": <denoiser params>, "latent_norm": {mean, std}}``; the exported
+    signature is ``(variables, x_lr_nchw, seed) → y_nchw`` with a symbolic
+    batch dim — ``seed`` (int32 scalar) drives the x1 ~ N(0, σ(1)²) init
+    so fixed-seed results are reproducible across the artifact boundary.
+
+    ``latent_stats``: optional (mean[C], std[C]) per-latent-channel stats
+    (the Sen2NAIP HR-stats normalization, sen2naip.py:634-643); identity
+    when omitted — then the pipeline composes exactly like the in-repo
+    benchmark chain.
+    """
+    import numpy as np
+    from jax import export as jexport
+
+    from eovax.data.sen2naip import SEN2NAIP_WVS
+    from eovax.models.sr_diffusion import DDIMSampler
+    from eovax.utils.checkpoint import save_variables
+
+    os.makedirs(out_dir, exist_ok=True)
+    core = model.core
+    z_ch = model.config.encoder.z_channels
+    factor = 2 ** (len(model.config.encoder.ch_mult) - 1)
+    latent_hw = resolution // factor
+    wvs_arr = jnp.asarray(SEN2NAIP_WVS if wvs is None else wvs, jnp.float32)
+    if latent_stats is None:
+        mean = jnp.zeros((z_ch,), jnp.float32)
+        std = jnp.ones((z_ch,), jnp.float32)
+    else:
+        mean = jnp.asarray(latent_stats[0], jnp.float32).reshape(-1)
+        std = jnp.asarray(latent_stats[1], jnp.float32).reshape(-1)
+
+    variables = {
+        "vae": model.variables,
+        "sr": sr_params,
+        "latent_norm": {"mean": mean, "std": std},
+    }
+    save_variables(os.path.join(out_dir, _PARAMS), variables)
+    var_shapes = jax.tree_util.tree_map(
+        lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), variables
+    )
+
+    sampler = DDIMSampler(denoiser, steps=steps)
+    enc = getattr(type(core), "encode_spatial_normalized")
+    dec = getattr(type(core), "decode_spatial_normalized")
+
+    def sr_fn(variables, x_lr, seed):
+        # Core methods are NHWC→NHWC; NCHW only at the artifact boundary.
+        m = variables["latent_norm"]["mean"].reshape(1, 1, 1, -1)
+        s = variables["latent_norm"]["std"].reshape(1, 1, 1, -1)
+        x = jnp.transpose(x_lr, (0, 2, 3, 1))  # NCHW → NHWC
+        z_lr = core.apply(variables["vae"], x, wvs_arr, method=enc)
+        cond = (z_lr - m) / s  # latent NHWC
+        x1 = sampler.init(jax.random.PRNGKey(seed), cond.shape)
+        z_hr = sampler(variables["sr"], x1, cond=cond) * s + m
+        y = core.apply(variables["vae"], z_hr, wvs_arr, method=dec)
+        return jnp.transpose(y, (0, 3, 1, 2))
+
+    (b,) = jexport.symbolic_shape("b")
+    in_shape = (b, len(np.asarray(wvs_arr)), resolution, resolution)
+    exp = jexport.export(jax.jit(sr_fn))(
+        var_shapes,
+        jax.ShapeDtypeStruct(in_shape, jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    fname = "super_resolve.stablehlo"
+    with open(os.path.join(out_dir, fname), "wb") as f:
+        f.write(exp.serialize())
+    manifest = {
+        "format": "eovax-serving-v1",
+        "resolution": resolution,
+        "params": _PARAMS,
+        "pipeline": "sr",
+        "ddim_steps": steps,
+        "wvs": [float(v) for v in np.asarray(wvs_arr)],
+        "functions": {
+            "super_resolve": {
+                "file": fname,
+                "modality": "SEN2NAIP",
+                "input_shape": ["b"] + [int(d) for d in in_shape[1:]],
+                "dtype": "float32",
+                "extra_args": ["seed:int32"],
+            }
+        },
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
 class ServedModel:
     """Runs an exported artifact — no eovax model code involved beyond the
     weights codec. Functions lazily deserialize on first use.
@@ -245,10 +350,10 @@ class ServedModel:
     def modalities(self) -> list[str]:
         return sorted({v["modality"] for v in self._manifest["functions"].values()})
 
-    def _fn(self, name: str, modality: str):
+    def _fn(self, name: str, modality: str | None = None):
         from jax import export as jexport
 
-        key = f"{name}.{modality}"
+        key = name if modality is None else f"{name}.{modality}"
         if key not in self._fns:
             entry = self._manifest["functions"].get(key)
             if entry is None:
@@ -286,3 +391,23 @@ class ServedModel:
 
     def decode_spatial_normalized(self, z, modality: str = "S2L2A"):
         return self._call("decode_spatial_normalized", z, modality)
+
+    def super_resolve(self, x, seed: int = 0):
+        """Run an exported SR-pipeline artifact (encode → DDIM → decode;
+        :func:`export_sr_pipeline`). ``seed`` pins the x1 noise draw."""
+        exp = self._fn("super_resolve")
+        x = jnp.asarray(x, jnp.float32)
+        seed_arr = jnp.asarray(seed, jnp.int32)
+        if self._mesh is None:
+            return exp.call(self._variables, x, seed_arr)
+        from eovax.parallel.mesh import batch_sharding, replicated_sharding
+
+        if "super_resolve" not in self._sharded_calls:
+            self._sharded_calls["super_resolve"] = jax.jit(exp.call)
+        axis = self._mesh.axis_names[0]
+        if x.shape[0] % self._mesh.shape[axis] == 0:
+            x = jax.device_put(x, batch_sharding(self._mesh, axis))
+        else:
+            x = jax.device_put(x, replicated_sharding(self._mesh))
+        seed_arr = jax.device_put(seed_arr, replicated_sharding(self._mesh))
+        return self._sharded_calls["super_resolve"](self._variables, x, seed_arr)

@@ -317,3 +317,71 @@ def test_with_mesh_custom_axis_name(artifact):
     devs = np_.asarray(jax.devices()).reshape(4, 2)
     with pytest.raises(ValueError, match="1-D mesh"):
         served.with_mesh(Mesh(devs, ("a", "b")))
+
+
+@pytest.mark.slow
+def test_export_sr_pipeline_matches_in_repo_sampler(tmp_path):
+    """The exported encode→DDIM→decode StableHLO pipeline reproduces the
+    in-repo composition on a fixed seed (VERDICT r3 item #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eovax.core.precision import FULL_PRECISION
+    from eovax.models.sr_diffusion import (
+        DDIMSampler,
+        RectifiedSchedule,
+        SimpleDenoiser,
+    )
+    from eovax.models.unet import UNet
+    from eovax.serving import ServedModel, export_sr_pipeline
+
+    model = EOFluxVAE(CFG, seed=0)  # fp32 policy, 3-ch, z=8
+    z = model.config.encoder.z_channels
+    unet = UNet(in_channels=z, out_channels=z, cond_channels=z,
+                hid_channels=(32, 16), hid_blocks=(1, 1),
+                policy=FULL_PRECISION)
+    x0 = jnp.zeros((1, 4, 4, z))
+    sr_params = unet.init(jax.random.PRNGKey(1), x0, jnp.zeros((1,)), x0)["params"]
+
+    def apply_fn(params, x_t, t, cond=None):
+        return unet.apply({"params": params}, x_t, t, cond)
+
+    # Perturb away from the zero-init output convs so the denoiser (and
+    # hence the pipeline) actually depends on the x1 seed draw.
+    leaves, treedef = jax.tree_util.tree_flatten(sr_params)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    sr_params = treedef.unflatten([
+        l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)
+    ])
+
+    den = SimpleDenoiser(apply_fn=apply_fn, schedule=RectifiedSchedule())
+    wvs = [0.665, 0.56, 0.49]
+    out = tmp_path / "sr-artifact"
+    manifest = export_sr_pipeline(
+        model, den, sr_params, str(out), resolution=32, steps=4, wvs=wvs,
+    )
+    assert manifest["pipeline"] == "sr" and manifest["ddim_steps"] == 4
+
+    g = np.random.default_rng(0)
+    x_lr = g.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    served = ServedModel.load(str(out))
+    y = np.asarray(served.super_resolve(x_lr, seed=7), np.float32)
+    assert y.shape == (2, 3, 32, 32) and np.isfinite(y).all()
+
+    # In-repo composition, same seed.
+    wvs_arr = jnp.asarray(wvs, jnp.float32)
+    z_lr = model.encode_spatial_normalized(x_lr, wvs_arr)
+    cond = jnp.transpose(jnp.asarray(z_lr), (0, 2, 3, 1))
+    sampler = DDIMSampler(den, steps=4)
+    x1 = sampler.init(jax.random.PRNGKey(7), cond.shape)
+    z_hr = sampler(sr_params, x1, cond=cond)
+    ref = np.asarray(model.decode_spatial_normalized(
+        jnp.transpose(z_hr, (0, 3, 1, 2)), wvs_arr), np.float32)
+    np.testing.assert_allclose(y, ref, atol=2e-4, rtol=2e-4)
+
+    # Seed changes the draw; determinism per seed.
+    y7 = np.asarray(served.super_resolve(x_lr, seed=7), np.float32)
+    y8 = np.asarray(served.super_resolve(x_lr, seed=8), np.float32)
+    np.testing.assert_array_equal(y, y7)
+    assert not np.allclose(y7, y8)
