@@ -218,6 +218,7 @@ VAE_KEYS = {
     "latent_noise_p",
     "noise_tau",
     "image_key",
+    "sample_posterior",
 }
 
 
@@ -237,6 +238,11 @@ class VAEConfig:
     latent_noise_p: float = 0.0
     noise_tau: float = 0.8
     image_key: str = "image"
+    # Deterministic-AE training variant: posterior.mode() instead of a
+    # sample in the train step. Also what makes the cross-framework
+    # loss-trajectory golden possible (torch/jax normal draws can never
+    # match; BASELINE.md protocol item 3).
+    sample_posterior: bool = True
 
     @classmethod
     def from_dict(cls, config: dict) -> "VAEConfig":

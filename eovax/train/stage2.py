@@ -127,7 +127,7 @@ def make_train_step(
                 image,
                 wvs,
                 rng=rng,
-                sample_posterior=True,
+                sample_posterior=cfg.sample_posterior,
                 scale=scale,
                 angle=angle,
                 train=True,
