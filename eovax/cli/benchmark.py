@@ -226,8 +226,12 @@ def _int8_quality_table(model, args):
             x = jnp.asarray(data[modality], jnp.float32)
         else:
             # Smooth synthetic fields (bilinear-upsampled noise) so the
-            # conv stack sees image-like spatial statistics.
-            g = np.random.default_rng(hash(modality) % 2**31)
+            # conv stack sees image-like spatial statistics. crc32, not
+            # hash(): str hashing is salted per process and would make
+            # the quality gate non-reproducible across runs.
+            import zlib
+
+            g = np.random.default_rng(zlib.crc32(modality.encode()))
             lo = g.standard_normal((args.batch, res // 8, res // 8, c))
             x_nhwc = jax.image.resize(
                 jnp.asarray(lo, jnp.float32), (args.batch, res, res, c),

@@ -28,6 +28,8 @@ must stay on the direct path.
 
 from __future__ import annotations
 
+import re
+
 import jax
 import jax.numpy as jnp
 
@@ -173,20 +175,27 @@ def int8_conv3x3_prequant(
 #: Module names whose convs are declared through the policy-dispatched
 #: ``policy_conv3x3`` (nn/blocks.py ResnetBlock, models/unet.py blocks).
 #: ONLY these may carry int8 kernels: any other conv (down/upsample,
-#: stems, 1×1) is applied by plain nn.Conv, which would read a raw int8
-#: kernel as numbers — silently wrong output, not an error.
+#: stems, 1×1, the multi_stage refinement blocks' identically-named
+#: plain nn.Convs) is applied by nn.Conv, which would read a raw int8
+#: kernel as numbers — silently wrong output, not an error. The parent
+#: pattern pins the OWNING block type (ResnetBlock/_TimeResBlock param
+#: scopes: down_i_block_j / up_i_block_j / mid_block_k), excluding
+#: same-named convs in other modules.
 _PREQUANT_CONV_NAMES = ("conv1", "conv2")
+_PREQUANT_PARENT_RE = re.compile(r"^(down|up)_\d+_block_\d+$|^mid_block_\d+$")
 
 
 def _eligible_kernel(path, leaf) -> bool:
     """Export-time analogue of :func:`should_use_int8`: the conv input
     channel count equals the kernel's I dim, so shape eligibility is
-    decidable from the kernel; dispatch reachability from the module
-    name (see ``_PREQUANT_CONV_NAMES`` — stride is invisible here, and
-    e.g. the stride-2 Downsample conv has an identically-shaped kernel)."""
+    decidable from the kernel; dispatch reachability from the conv name
+    AND its parent block scope (stride is invisible here — the stride-2
+    Downsample conv has an identically-shaped kernel — and plain-conv
+    modules may reuse the conv1/conv2 names)."""
     return (
-        len(path) > 0
+        len(path) >= 2
         and path[-1] in _PREQUANT_CONV_NAMES
+        and _PREQUANT_PARENT_RE.match(path[-2]) is not None
         and hasattr(leaf, "shape")
         and getattr(leaf, "ndim", 0) == 4
         and tuple(leaf.shape[:2]) == (3, 3)

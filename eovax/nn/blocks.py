@@ -172,16 +172,15 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest ×2 upsample + 3×3 conv, computed sub-pixel.
+    """Nearest ×2 upsample + 3×3 conv, computed as one transposed conv.
 
-    TPU optimization: nearest-×2 followed by a 3×3 conv is algebraically a
-    2×2 conv per output phase on the LOW-res input — each output pixel's
-    3×3 window covers at most 2×2 distinct input pixels, with kernel taps
-    summed per phase. One conv with the four phase kernels stacked on the
-    output axis + an interleave replaces the 3×3 conv on the 4× upsampled
-    tensor: 2.25× fewer conv FLOPs and no 4× intermediate in HBM. Matches
-    nearest+conv up to fp reassociation of the tap sums; parameters stay in
-    the reference 3×3 layout (checkpoint-compatible).
+    TPU optimization: nearest-×2 followed by a SAME 3×3 conv is
+    algebraically a stride-2 transposed convolution with a 4×4 tap-sum
+    kernel; expressed via ``lhs_dilation`` XLA runs it on its
+    backward-of-strided-conv path with no 4× upsampled intermediate (see
+    :func:`subpixel_upsample_conv` for the derivation and round-3
+    measurements). Parameters stay in the reference 3×3 layout
+    (checkpoint-compatible).
     """
 
     in_channels: int

@@ -26,9 +26,21 @@ class CSVLogger:
         self._fields: list[str] = ["step", "wall_time"]
         self._rows: list[dict[str, Any]] = []
         self._header_written = False
+        # Resume into an existing experiment dir (--resume-dir): adopt the
+        # pre-preemption history so the first log() appends instead of
+        # truncating it with a fresh header rewrite.
+        if os.path.exists(self.path):
+            with open(self.path, newline="") as f:
+                reader = csv.DictReader(f)
+                if reader.fieldnames:
+                    self._fields = list(reader.fieldnames)
+                    self._rows = [dict(r) for r in reader]
+                    self._header_written = True
 
     def log(self, step: int, scalars: dict[str, float]) -> None:
-        row = {"step": step, "wall_time": time.time(), **scalars}
+        # wall_time at fixed precision: stable row byte-length (and stable
+        # parsing) regardless of float repr shortest-roundtrip quirks.
+        row = {"step": step, "wall_time": f"{time.time():.6f}", **scalars}
         grew = False
         for k in row:
             if k not in self._fields:

@@ -11,6 +11,12 @@ cd "$(dirname "$0")/.."
 
 FILES=$(python -m pytest tests/ -m slow --collect-only -q 2>/dev/null \
         | grep -o '^tests/[a-z_0-9]*\.py' | sort -u)
+if [ -z "$FILES" ]; then
+  # Collection failure (import/syntax error) must not read as a green tier.
+  echo "ERROR: slow-test collection produced no files — collection output:" >&2
+  python -m pytest tests/ -m slow --collect-only -q >&2
+  exit 2
+fi
 
 fail=0
 summary=""

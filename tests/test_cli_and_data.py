@@ -365,3 +365,12 @@ def test_csv_logger_appends_linear(tmp_path):
     assert len(rows) == 12
     assert rows[0]["b"] == "" and rows[-1]["b"] == "99.0"
     assert [r["step"] for r in rows] == [str(s) for s in range(1, 13)]
+
+    # Resume into the same dir (--resume-dir preemption recovery): a
+    # fresh logger must APPEND to the existing history, not truncate it.
+    lg2 = CSVLogger(str(tmp_path))
+    lg2.log(13, {"a": 13.0, "b": 1.0})
+    with open(lg2.path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 13
+    assert [r["step"] for r in rows] == [str(s) for s in range(1, 14)]

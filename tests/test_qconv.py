@@ -137,36 +137,39 @@ def test_quantize_params_int8_walk():
     from eovax.kernels.qconv import quantize_params_int8
 
     g = np.random.default_rng(5)
+
+    def conv_leaf(*shape):
+        return {
+            "kernel": jnp.asarray(g.standard_normal(shape), jnp.float32),
+            "bias": jnp.zeros((shape[-1],), jnp.float32),
+        }
+
     params = {
         "encoder": {
-            "conv1": {
-                "kernel": jnp.asarray(g.standard_normal((3, 3, 128, 128)), jnp.float32),
-                "bias": jnp.zeros((128,), jnp.float32),
-            },
-            "conv2": {  # dispatch name but small channels: ineligible
-                "kernel": jnp.asarray(g.standard_normal((3, 3, 3, 128)), jnp.float32),
-                "bias": jnp.zeros((128,), jnp.float32),
-            },
-            # NOT a policy_conv3x3 name (plain nn.Conv would read int8 raw):
-            # ineligible even with a body-conv-shaped kernel.
-            "downsample": {
-                "kernel": jnp.asarray(g.standard_normal((3, 3, 128, 128)), jnp.float32),
-                "bias": jnp.zeros((128,), jnp.float32),
-            },
+            "mid_block_1": {"conv1": conv_leaf(3, 3, 128, 128)},
+            # dispatch name + block scope but small channels: ineligible
+            "down_0_block_0": {"conv2": conv_leaf(3, 3, 3, 128)},
+            # NOT a policy_conv3x3 owner (plain nn.Conv would read int8
+            # raw): ineligible even with a body-conv-shaped kernel.
+            "downsample": conv_leaf(3, 3, 128, 128),
+            # multi_stage-style decoy: conv1 name, eligible shape, but a
+            # non-block parent scope — must stay fp32.
+            "refine": {"conv1": conv_leaf(3, 3, 128, 128)},
         }
     }
-    scales = {("encoder", "conv1"): 4.2}
+    scales = {("encoder", "mid_block_1", "conv1"): 4.2}
     qp, n = quantize_params_int8(params, act_scales=scales)
     assert n == 1
-    c1 = qp["encoder"]["conv1"]
+    c1 = qp["encoder"]["mid_block_1"]["conv1"]
     assert c1["kernel"].dtype == jnp.int8
     assert c1["kernel_scale"].shape == (128,)
     assert float(c1["act_scale"]) == np.float32(4.2)
-    assert qp["encoder"]["conv2"]["kernel"].dtype == jnp.float32
+    assert qp["encoder"]["down_0_block_0"]["conv2"]["kernel"].dtype == jnp.float32
     assert "kernel_scale" not in qp["encoder"]["downsample"]
+    assert qp["encoder"]["refine"]["conv1"]["kernel"].dtype == jnp.float32
     # Dequantized weights approximate the originals.
     deq = c1["kernel"].astype(jnp.float32) * c1["kernel_scale"]
-    orig = params["encoder"]["conv1"]["kernel"]
+    orig = params["encoder"]["mid_block_1"]["conv1"]["kernel"]
     assert float(jnp.max(jnp.abs(deq - orig))) <= float(
         jnp.max(jnp.abs(orig))) / 127.0 + 1e-6
 
@@ -184,7 +187,10 @@ def test_resnet_block_prequant_close_to_direct():
     variables = block_d.init(jax.random.PRNGKey(0), x)
     y_d = np.asarray(block_d.apply(variables, x), np.float32)
 
-    qparams, n = quantize_params_int8(variables["params"])
+    # Production trees nest blocks under their model scope (the walk
+    # requires the block-scope parent name); wrap and unwrap.
+    qwrap, n = quantize_params_int8({"up_0_block_0": variables["params"]})
+    qparams = qwrap["up_0_block_0"]
     assert n == 2  # conv1 + conv2
     block_q = ResnetBlock(in_channels=128, out_channels=128, policy=INT8_POLICY)
     y_q = np.asarray(block_q.apply({"params": qparams}, x), np.float32)
@@ -218,6 +224,11 @@ def test_calibration_sow_and_reduce():
     scales = act_scales_from_calibration(trees)
     assert set(scales) == {("conv1",), ("conv2",)}
     assert all(v > 0 for v in scales.values())
-    qp, n = quantize_params_int8(variables["params"], act_scales=scales)
+    wrapped_scales = {("mid_block_1",) + k: v for k, v in scales.items()}
+    qp, n = quantize_params_int8(
+        {"mid_block_1": variables["params"]}, act_scales=wrapped_scales
+    )
     assert n == 2
-    assert float(qp["conv1"]["act_scale"]) == np.float32(scales[("conv1",)])
+    assert float(qp["mid_block_1"]["conv1"]["act_scale"]) == np.float32(
+        scales[("conv1",)]
+    )
