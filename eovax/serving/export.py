@@ -238,8 +238,25 @@ def export_sr_pipeline(
         mean = jnp.asarray(latent_stats[0], jnp.float32).reshape(-1)
         std = jnp.asarray(latent_stats[1], jnp.float32).reshape(-1)
 
+    vae_variables = model.variables
+    quantized = 0
+    if getattr(model.policy, "conv_algorithm", None) == "int8":
+        # Same export-time quantization as export_model: the VAE body
+        # convs AND the UNet _TimeResBlock convs (down/up_i_block_j and
+        # mid_block_k scopes) are policy_conv3x3-dispatched, so both
+        # trees qualify. The denoiser must have been built with the same
+        # int8 policy (cli/export passes policy=model.policy) — the
+        # prequant dispatch only fires under conv_algorithm == "int8".
+        from eovax.kernels.qconv import quantize_params_int8
+
+        qvae, n_vae = quantize_params_int8(vae_variables["params"])
+        sr_params, n_sr = quantize_params_int8(sr_params)
+        vae_variables = dict(vae_variables)
+        vae_variables["params"] = qvae
+        quantized = n_vae + n_sr
+
     variables = {
-        "vae": model.variables,
+        "vae": vae_variables,
         "sr": sr_params,
         "latent_norm": {"mean": mean, "std": std},
     }
@@ -280,6 +297,17 @@ def export_sr_pipeline(
         "params": _PARAMS,
         "pipeline": "sr",
         "ddim_steps": steps,
+        **(
+            {
+                "quantization": {
+                    "weights": "int8-symmetric-per-out-channel",
+                    "quantized_convs": quantized,
+                    "activations": "dynamic-per-tensor-absmax",
+                }
+            }
+            if quantized
+            else {}
+        ),
         "wvs": [float(v) for v in np.asarray(wvs_arr)],
         "functions": {
             "super_resolve": {

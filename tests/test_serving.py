@@ -385,3 +385,66 @@ def test_export_sr_pipeline_matches_in_repo_sampler(tmp_path):
     y8 = np.asarray(served.super_resolve(x_lr, seed=8), np.float32)
     np.testing.assert_array_equal(y, y7)
     assert not np.allclose(y7, y8)
+
+
+@pytest.mark.slow
+def test_export_sr_pipeline_int8_cli(tmp_path):
+    """`--sr-config --precision int8` quantizes BOTH trees at export: the
+    VAE body convs and the UNet _TimeResBlock convs carry int8 kernels in
+    the artifact, and the pipeline still serves finite output."""
+    import jax.numpy as jnp
+    import yaml
+
+    from eovax.cli.export import main as export_main
+    from eovax.serving import ServedModel
+
+    enc = {"z_channels": 8, "resolution": 32, "in_channels": 4, "ch": 128,
+           "ch_mult": [1, 2], "num_res_blocks": 1, "use_dynamic_ops": True,
+           "dynamic_conv_kwargs": {"num_layers": 1, "wv_planes": 64}}
+    dec = dict(enc); dec.pop("in_channels"); dec["out_ch"] = 4
+    cfg_path = tmp_path / "model_config.yaml"
+    cfg_path.write_text(yaml.safe_dump({"model": {"encoder": enc, "decoder": dec}}))
+    sr_cfg = {
+        "lightning_module": {
+            "denoiser": {
+                "backbone": {
+                    "in_channels": 8, "out_channels": 8, "cond_channels": 8,
+                    "hid_channels": [128], "hid_blocks": [1],
+                },
+                "schedule": {"_target_": "azula.noise.RectifiedSchedule"},
+            },
+        },
+    }
+    sr_path = tmp_path / "sr_config.yaml"
+    sr_path.write_text(yaml.safe_dump(sr_cfg))
+    out = tmp_path / "artifact"
+    export_main([
+        "--config", str(cfg_path), "--output", str(out),
+        "--resolution", "32", "--precision", "int8",
+        "--sr-config", str(sr_path), "--sr-steps", "2",
+    ])
+    served = ServedModel.load(str(out))
+    q = served._manifest["quantization"]
+    assert q["weights"] == "int8-symmetric-per-out-channel"
+    assert q["quantized_convs"] > 0
+
+    def _int8_kernels(tree):
+        return [
+            p for p, v in _iter_leaves(tree)
+            if p[-1] == "kernel" and getattr(v, "dtype", None) == jnp.int8
+        ]
+
+    vae_q = _int8_kernels(served._variables["vae"]["params"])
+    sr_q = _int8_kernels(served._variables["sr"])
+    assert vae_q, "VAE body convs should be pre-quantized"
+    assert sr_q, "UNet _TimeResBlock convs should be pre-quantized"
+    assert all(p[-2] in ("conv1", "conv2") for p in vae_q + sr_q)
+    n_scales = sum(
+        1 for p, _ in _iter_leaves(served._variables)
+        if p[-1] == "kernel_scale"
+    )
+    assert n_scales == q["quantized_convs"] == len(vae_q) + len(sr_q)
+
+    x = np.random.default_rng(0).standard_normal((1, 4, 32, 32)).astype(np.float32)
+    y = np.asarray(served.super_resolve(x, seed=3), np.float32)
+    assert y.shape == (1, 4, 32, 32) and np.isfinite(y).all()
