@@ -9,6 +9,16 @@ im2col reformulation of the stem conv (patch-gather → one [B·H·W, 9·C_in]
 × [9·C_in, 128] matmul) to test whether XLA's conv lowering underuses the
 MXU at C_in ∈ {2,3,12,13}.
 
+CAVEAT (measured): the isolated `stemconv_*`/`outconv_*` rows are
+inflated ~4× by the chain's feedback adapter — reconstructing a wide
+input from a 12-channel output costs lane shuffles that ride every
+iteration and do NOT cancel under the slope method. The reliable
+low-channel numbers come from a differential pair of chains sharing
+identical feedback (one with the extra conv): stem 12→128 ≈ 1.25 ms,
+out 128→12 ≈ 1.66 ms — the 128-lane granularity floor (≈ ideal ×
+128/12). See ARCHITECTURE.md "Encode breakdown + the low-channel stem
+floor".
+
 Run from /root/repo:  python scripts/ablate_encode.py [--iters 30]
 """
 
