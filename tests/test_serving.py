@@ -386,6 +386,18 @@ def test_export_sr_pipeline_matches_in_repo_sampler(tmp_path):
     np.testing.assert_array_equal(y, y7)
     assert not np.allclose(y7, y8)
 
+    # Data-parallel serving: the exported pipeline (including the DDIM
+    # scan) partitions over a 1-D mesh; seed replicated, batch sharded.
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("batch",))
+    xb = np.tile(x_lr, (4, 1, 1, 1))  # 8 = one per device
+    ref_b = np.asarray(served.super_resolve(xb, seed=7), np.float32)
+    got_b = np.asarray(
+        served.with_mesh(mesh).super_resolve(xb, seed=7), np.float32
+    )
+    np.testing.assert_allclose(got_b, ref_b, atol=2e-5, rtol=2e-5)
+
 
 @pytest.mark.slow
 def test_export_sr_pipeline_int8_cli(tmp_path):
