@@ -72,6 +72,12 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     if args.sr_config:
+        if args.calibrate_npz:
+            parser.error(
+                "--calibrate-npz is not supported for the SR pipeline "
+                "export (the int8 SR artifact uses dynamic abs-max "
+                "activation scales)"
+            )
         from eovax.cli.train_super_res import build_denoiser_from_config
         from eovax.core.config import load_yaml
         from eovax.serving.export import export_sr_pipeline
@@ -87,7 +93,13 @@ def main(argv=None) -> None:
         manifest = export_sr_pipeline(
             model, denoiser, sr_params, args.output,
             resolution=args.resolution, steps=args.sr_steps,
+            params_dtype=jnp.bfloat16 if args.compact_weights else None,
+            denoiser_policy=model.policy,
         )
+        q = manifest.get("quantization")
+        if q:
+            print(f"int8: {q['quantized_convs']} convs pre-quantized "
+                  "(VAE + UNet trees)")
         print(f"exported SR pipeline ({manifest['ddim_steps']} DDIM steps, "
               f"{args.resolution}² LR input) to {args.output}")
         return

@@ -29,6 +29,32 @@ _MANIFEST = "manifest.json"
 _PARAMS = "params.msgpack"
 
 
+def _cast_float_params(tree, params_dtype):
+    """Storage-dtype cast for float parameter leaves. Quantization scales
+    (kernel_scale / act_scale) stay fp32 — rounding the scale would shift
+    every dequantized weight; int8 kernels are not floating and pass
+    through untouched."""
+    _keep = {"kernel_scale", "act_scale"}
+
+    def _cast(path, v):
+        if getattr(path[-1], "key", None) in _keep:
+            return v
+        return v.astype(params_dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
+
+    return jax.tree_util.tree_map_with_path(_cast, tree)
+
+
+def _quant_manifest(quantized_convs: int, act_scales=None) -> dict:
+    return {
+        "weights": "int8-symmetric-per-out-channel",
+        "quantized_convs": quantized_convs,
+        "activations": (
+            "static-percentile-calibrated" if act_scales else
+            "dynamic-per-tensor-absmax"
+        ),
+    }
+
+
 def _nchw_fn(core, method_name: str, wvs: jax.Array):
     """Wrap a core method as (variables, x_nchw) → y_nchw with the
     modality wavelengths closed over (a per-artifact constant)."""
@@ -124,21 +150,9 @@ def export_model(
         raise ValueError("act_scales requires an int8-policy model")
     if params_dtype is not None:
         # Cast float PARAMS only; batch_stats (the BN running stats that
-        # define the latent-normalization contract) stay fp32, as do the
-        # int8 kernels (not floating) and their dequantization scales
-        # (kernel_scale / act_scale — rounding the scale would shift
-        # every dequantized weight).
-        _keep = {"kernel_scale", "act_scale"}
-
-        def _cast(path, v):
-            if getattr(path[-1], "key", None) in _keep:
-                return v
-            return v.astype(params_dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
-
+        # define the latent-normalization contract) stay fp32.
         variables = dict(variables)
-        variables["params"] = jax.tree_util.tree_map_with_path(
-            _cast, variables["params"]
-        )
+        variables["params"] = _cast_float_params(variables["params"], params_dtype)
     save_variables(os.path.join(out_dir, _PARAMS), variables)
     var_shapes = jax.tree_util.tree_map(
         lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), variables
@@ -156,14 +170,7 @@ def export_model(
         "functions": {},
     }
     if quantized:
-        manifest["quantization"] = {
-            "weights": "int8-symmetric-per-out-channel",
-            "quantized_convs": quantized,
-            "activations": (
-                "static-percentile-calibrated" if act_scales else
-                "dynamic-per-tensor-absmax"
-            ),
-        }
+        manifest["quantization"] = _quant_manifest(quantized, act_scales)
     for modality in modalities:
         wvs = jnp.asarray(WAVELENGTHS[modality], jnp.float32)
         channels = len(WAVELENGTHS[modality])
@@ -201,6 +208,8 @@ def export_sr_pipeline(
     steps: int = 50,
     wvs=None,
     latent_stats: tuple | None = None,
+    params_dtype=None,
+    denoiser_policy=None,
 ) -> dict:
     """Export the stage-3 inference pipeline — encode → ``steps``-step DDIM
     → decode — as ONE StableHLO function (VERDICT r3 item #7: stage-3
@@ -217,6 +226,17 @@ def export_sr_pipeline(
     (the Sen2NAIP HR-stats normalization, sen2naip.py:634-643); identity
     when omitted — then the pipeline composes exactly like the in-repo
     benchmark chain.
+
+    ``params_dtype``: optional storage dtype for float parameter leaves
+    (both trees), same semantics as :func:`export_model` — BN stats,
+    latent_norm, and quantization scales stay fp32.
+
+    ``denoiser_policy``: REQUIRED when ``model.policy`` is int8 — the
+    policy the denoiser's UNet was built with. The prequant conv dispatch
+    only fires under ``conv_algorithm == "int8"``; quantizing ``sr_params``
+    for a denoiser built with any other policy would bake raw int8 values
+    into plain nn.Conv math (silently wrong output). cli/export builds the
+    denoiser with ``model.policy`` and passes it here.
     """
     import numpy as np
     from jax import export as jexport
@@ -241,12 +261,20 @@ def export_sr_pipeline(
     vae_variables = model.variables
     quantized = 0
     if getattr(model.policy, "conv_algorithm", None) == "int8":
-        # Same export-time quantization as export_model: the VAE body
-        # convs AND the UNet _TimeResBlock convs (down/up_i_block_j and
-        # mid_block_k scopes) are policy_conv3x3-dispatched, so both
-        # trees qualify. The denoiser must have been built with the same
-        # int8 policy (cli/export passes policy=model.policy) — the
-        # prequant dispatch only fires under conv_algorithm == "int8".
+        # Same export-time quantization as export_model, applied to BOTH
+        # trees: the VAE body convs and the UNet _TimeResBlock convs
+        # (down/up_i_block_j and mid_block_k scopes share the
+        # policy_conv3x3 dispatch).
+        if getattr(denoiser_policy, "conv_algorithm", None) != "int8":
+            raise ValueError(
+                "int8 SR export: the denoiser must have been built with "
+                "the same int8 policy, and denoiser_policy=<that policy> "
+                "must be passed to confirm it — quantized UNet kernels "
+                "under any other policy are applied as raw numbers by "
+                "plain nn.Conv (silently wrong output). cli/export "
+                "builds the denoiser with policy=model.policy and "
+                "forwards it."
+            )
         from eovax.kernels.qconv import quantize_params_int8
 
         qvae, n_vae = quantize_params_int8(vae_variables["params"])
@@ -254,6 +282,12 @@ def export_sr_pipeline(
         vae_variables = dict(vae_variables)
         vae_variables["params"] = qvae
         quantized = n_vae + n_sr
+    if params_dtype is not None:
+        vae_variables = dict(vae_variables)
+        vae_variables["params"] = _cast_float_params(
+            vae_variables["params"], params_dtype
+        )
+        sr_params = _cast_float_params(sr_params, params_dtype)
 
     variables = {
         "vae": vae_variables,
@@ -297,17 +331,6 @@ def export_sr_pipeline(
         "params": _PARAMS,
         "pipeline": "sr",
         "ddim_steps": steps,
-        **(
-            {
-                "quantization": {
-                    "weights": "int8-symmetric-per-out-channel",
-                    "quantized_convs": quantized,
-                    "activations": "dynamic-per-tensor-absmax",
-                }
-            }
-            if quantized
-            else {}
-        ),
         "wvs": [float(v) for v in np.asarray(wvs_arr)],
         "functions": {
             "super_resolve": {
@@ -319,6 +342,8 @@ def export_sr_pipeline(
             }
         },
     }
+    if quantized:
+        manifest["quantization"] = _quant_manifest(quantized)
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

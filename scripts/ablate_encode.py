@@ -106,11 +106,11 @@ def main() -> None:
         print(f"{label:45} {ms:8.3f} ms", flush=True)
 
     # ---- full encode ----------------------------------------------------
+    from eovax.data.wavelengths import wavelengths_for
+
     stem = StemConfig(num_layers=4, wv_planes=256)
     enc = Encoder(EncoderConfig(in_channels=12, stem=stem), policy=policy)
-    wvs = jnp.asarray(
-        __import__("eovax.data.wavelengths", fromlist=["x"]).wavelengths_for("S2L2A")
-    )
+    wvs = jnp.asarray(wavelengths_for("S2L2A"))
     x_img = rand((B, 256, 256, 12))
     evars = host_vars(enc, jnp.zeros((1, 256, 256, 12)), wvs)
 
@@ -241,9 +241,12 @@ def main() -> None:
     )
 
     # ---- composed estimate ---------------------------------------------
+    # The stem row is EXCLUDED: its isolated-chain number is ~4× inflated
+    # by the feedback adapter (see the docstring CAVEAT); the reliable
+    # differential-chain estimate is ~1.25 ms and lives in the
+    # unattributed remainder together with attn/GN-tail/conv_out/quant.
     composed = (
-        results["stemconv_direct_12to128"]
-        + 2 * results["block_256px_128"]
+        2 * results["block_256px_128"]
         + results["down_256to128_128"]
         + results["block_128px_128to256"] + results["block_128px_256"]
         + results["down_128to64_256"]
@@ -252,8 +255,8 @@ def main() -> None:
         + 2 * results["block_32px_512"]   # level-3 blocks
         + 2 * results["block_32px_512"]   # mid block1/2 (attn excluded)
     )
-    report("composed_blocks_sum", composed)
-    report("unattributed (attn, GN tail, conv_out, quant)",
+    report("composed_blocks_sum (excl. stem)", composed)
+    report("unattributed (stem, attn, GN tail, conv_out, quant)",
            results["encode_total"] - composed)
 
     print("JSON:" + json.dumps({k: round(v, 3) for k, v in results.items()}))

@@ -399,6 +399,23 @@ def test_export_sr_pipeline_matches_in_repo_sampler(tmp_path):
     np.testing.assert_allclose(got_b, ref_b, atol=2e-5, rtol=2e-5)
 
 
+def test_export_sr_pipeline_int8_requires_denoiser_policy(tmp_path):
+    """Quantizing sr_params for a denoiser built under a non-int8 policy
+    would bake raw int8 values into plain-conv math; the exporter demands
+    an explicit denoiser_policy confirmation before touching either tree."""
+    from eovax.core.precision import INT8_POLICY
+    from eovax.serving import export_sr_pipeline
+
+    model = EOFluxVAE(CFG, policy=INT8_POLICY, seed=0)
+    with pytest.raises(ValueError, match="denoiser_policy"):
+        export_sr_pipeline(model, None, {}, str(tmp_path / "a"))
+    with pytest.raises(ValueError, match="denoiser_policy"):
+        export_sr_pipeline(
+            model, None, {}, str(tmp_path / "b"),
+            denoiser_policy=model.policy.__class__(),  # non-int8 policy
+        )
+
+
 @pytest.mark.slow
 def test_export_sr_pipeline_int8_cli(tmp_path):
     """`--sr-config --precision int8` quantizes BOTH trees at export: the
