@@ -1,0 +1,67 @@
+"""Serve an exported StableHLO artifact over HTTP.
+
+Usage:
+    python -m eovax.cli.serve artifact/ [--host 0.0.0.0] [--port 8000] \
+        [--mesh] [--warmup 1 8]
+
+Loads the artifact with ``ServedModel.load`` (no model code needed),
+optionally fans it out data-parallel over every visible device
+(``--mesh``), pre-compiles the requested batch sizes, then blocks on
+``serve_forever``. Protocol: see eovax/serving/server.py. The reference
+has no serving entry point at all (its inference story is the Python API,
+/root/reference/README.md:31-49).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Serve an EO-VAE artifact over HTTP")
+    parser.add_argument("artifact", help="directory from eovax.cli.export")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000,
+                        help="0 binds an ephemeral port (printed at startup)")
+    parser.add_argument("--mesh", action="store_true",
+                        help="shard request batches data-parallel over all "
+                        "visible devices (ServedModel.with_mesh)")
+    parser.add_argument("--warmup", type=int, nargs="*", default=[1],
+                        help="batch sizes to pre-compile (default: 1; pass "
+                        "no values to skip)")
+    parser.add_argument("--verbose", action="store_true",
+                        help="log one line per request")
+    args = parser.parse_args(argv)
+
+    from eovax.cli.common import enable_compile_cache
+
+    enable_compile_cache()
+
+    from eovax.serving import ServedModel
+    from eovax.serving.server import make_server, warmup
+
+    served = ServedModel.load(args.artifact)
+    if args.mesh:
+        from eovax.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        served = served.with_mesh(mesh)
+        print(f"data-parallel over {mesh.devices.size} devices")
+    if args.warmup:
+        warmed = warmup(served, batch_sizes=tuple(args.warmup))
+        print(f"warmed {len(warmed)} function×batch combinations")
+
+    httpd = make_server(served, host=args.host, port=args.port,
+                        quiet=not args.verbose)
+    host, port = httpd.server_address[:2]
+    fns = ", ".join(sorted(served._manifest["functions"]))
+    print(f"serving {fns} on http://{host}:{port}/v1/ (GET /healthz, "
+          "GET /v1/manifest)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

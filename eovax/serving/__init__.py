@@ -34,3 +34,4 @@ from eovax.serving.export import (  # noqa: F401
     export_model,
     export_sr_pipeline,
 )
+from eovax.serving.server import make_server, warmup  # noqa: F401

@@ -367,7 +367,10 @@ class ServedModel:
         self._variables = variables
         self._fns: dict[str, Any] = {}
         self._mesh = mesh
-        self._sharded_calls: dict[str, Any] = {}
+        # jit-wrapped exported calls, keyed like _fns. Exported.call
+        # re-lowers/compiles on EVERY invocation; jax.jit around it gives
+        # the compile cache (both single-device and mesh paths).
+        self._jit_calls: dict[str, Any] = {}
 
     def with_mesh(self, mesh) -> "ServedModel":
         """Data-parallel serving view over a 1-D `jax.sharding.Mesh`
@@ -417,16 +420,19 @@ class ServedModel:
                 self._fns[key] = jexport.deserialize(f.read())
         return self._fns[key]
 
+    def _jit(self, name: str, modality: str | None = None):
+        key = name if modality is None else f"{name}.{modality}"
+        if key not in self._jit_calls:
+            self._jit_calls[key] = jax.jit(self._fn(name, modality).call)
+        return self._jit_calls[key]
+
     def _call(self, name: str, x, modality: str):
-        exp = self._fn(name, modality)
+        fn = self._jit(name, modality)
         x = jnp.asarray(x, jnp.float32)
         if self._mesh is None:
-            return exp.call(self._variables, x)
+            return fn(self._variables, x)
         from eovax.parallel.mesh import batch_sharding, replicated_sharding
 
-        key = f"{name}.{modality}"
-        if key not in self._sharded_calls:
-            self._sharded_calls[key] = jax.jit(exp.call)
         axis = self._mesh.axis_names[0]
         if x.shape[0] % self._mesh.shape[axis] == 0:
             x = jax.device_put(x, batch_sharding(self._mesh, axis))
@@ -434,7 +440,7 @@ class ServedModel:
             # replicate — leaving x committed elsewhere would clash with
             # the mesh-committed params inside jit
             x = jax.device_put(x, replicated_sharding(self._mesh))
-        return self._sharded_calls[key](self._variables, x)
+        return fn(self._variables, x)
 
     def reconstruct(self, x, modality: str = "S2L2A"):
         return self._call("reconstruct", x, modality)
@@ -448,19 +454,17 @@ class ServedModel:
     def super_resolve(self, x, seed: int = 0):
         """Run an exported SR-pipeline artifact (encode → DDIM → decode;
         :func:`export_sr_pipeline`). ``seed`` pins the x1 noise draw."""
-        exp = self._fn("super_resolve")
+        fn = self._jit("super_resolve")
         x = jnp.asarray(x, jnp.float32)
         seed_arr = jnp.asarray(seed, jnp.int32)
         if self._mesh is None:
-            return exp.call(self._variables, x, seed_arr)
+            return fn(self._variables, x, seed_arr)
         from eovax.parallel.mesh import batch_sharding, replicated_sharding
 
-        if "super_resolve" not in self._sharded_calls:
-            self._sharded_calls["super_resolve"] = jax.jit(exp.call)
         axis = self._mesh.axis_names[0]
         if x.shape[0] % self._mesh.shape[axis] == 0:
             x = jax.device_put(x, batch_sharding(self._mesh, axis))
         else:
             x = jax.device_put(x, replicated_sharding(self._mesh))
         seed_arr = jax.device_put(seed_arr, replicated_sharding(self._mesh))
-        return self._sharded_calls["super_resolve"](self._variables, x, seed_arr)
+        return fn(self._variables, x, seed_arr)

@@ -1,0 +1,165 @@
+"""HTTP inference server over an exported StableHLO artifact.
+
+The reference has no serving daemon at all — its deployment story ends at
+`EOFluxVAE.from_pretrained` inside a Python process
+(/root/reference/eo_vae/models/new_autoencoder.py:223-268). This module
+closes the last gap between "exported artifact" and "running service":
+a stdlib-only (http.server) daemon that loads a :class:`ServedModel`
+and exposes its functions over HTTP with ``.npy`` payloads.
+
+    served = ServedModel.load("artifact/")
+    httpd = make_server(served, port=8000)
+    httpd.serve_forever()            # or: python -m eovax.cli.serve artifact/
+
+Protocol (v1):
+    GET  /healthz                  -> {"status": "ok"} once warm
+    GET  /v1/manifest              -> the artifact manifest JSON
+    POST /v1/<function>?modality=M -> body:  .npy (NCHW float32)
+                                      reply: .npy (NCHW float32)
+    POST /v1/super_resolve?seed=N  -> SR-pipeline artifacts only
+
+Design notes:
+- ``ThreadingHTTPServer`` so a slow client can't starve health checks;
+  device dispatches from concurrent handlers are serialized by a lock —
+  one TPU stream gains nothing from interleaved dispatch, and the lock
+  keeps per-request latency predictable instead of fair-share degraded.
+- Payloads are raw ``.npy`` (``np.save``/``np.load(allow_pickle=False)``):
+  zero-copy-ish, dtype/shape carried in-band, no pickle execution risk.
+- ``warmup()`` pre-compiles each function at the given batch sizes so the
+  first real request doesn't eat a multi-second XLA compile. Exported
+  functions have a symbolic batch dim, but each concrete batch size still
+  triggers one compile at call time.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+#: request path segment -> ServedModel method (all take (x, modality=...)
+#: except super_resolve, which takes (x, seed=...)).
+_ROUTES = (
+    "reconstruct",
+    "encode_spatial_normalized",
+    "decode_spatial_normalized",
+    "super_resolve",
+)
+
+_MAX_BODY = 1 << 30  # 1 GiB — refuse absurd payloads before allocating
+
+
+def _npy_bytes(arr) -> bytes:
+    arr = np.asarray(arr)
+    if arr.dtype not in (np.float32, np.float64):
+        # bf16-policy models return bfloat16; clients without ml_dtypes
+        # can't read that from .npy — float32 is the wire format.
+        arr = arr.astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set per-server via type(); see make_server
+    served = None
+    lock: threading.Lock = None
+    quiet = True
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # default: silent (tests, prod logs)
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+    def _reply(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, code: int, obj) -> None:
+        self._reply(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            self._json(200, {"status": "ok"})
+        elif path == "/v1/manifest":
+            self._json(200, self.served._manifest)
+        else:
+            self._json(404, {"error": f"unknown path {path!r}"})
+
+    def do_POST(self):  # noqa: N802
+        url = urlparse(self.path)
+        name = url.path.removeprefix("/v1/")
+        if url.path == name or name not in _ROUTES:
+            self._json(404, {"error": f"unknown function {url.path!r}",
+                             "functions": list(_ROUTES)})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            if not 0 < length <= _MAX_BODY:
+                self._json(400, {"error": f"bad Content-Length {length}"})
+                return
+            x = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
+        except Exception as e:  # malformed .npy
+            self._json(400, {"error": f"payload is not a valid .npy: {e}"})
+            return
+        q = parse_qs(url.query)
+        try:
+            with self.lock:
+                if name == "super_resolve":
+                    y = self.served.super_resolve(
+                        x, seed=int(q.get("seed", ["0"])[0]))
+                else:
+                    kw = {}
+                    if "modality" in q:
+                        kw["modality"] = q["modality"][0]
+                    y = getattr(self.served, name)(x, **kw)
+            self._reply(200, _npy_bytes(y), "application/x-npy")
+        except KeyError as e:
+            # function/modality not in this artifact
+            self._json(404, {"error": str(e)})
+        except Exception as e:
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(served, host: str = "127.0.0.1", port: int = 8000,
+                quiet: bool = True) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server for a :class:`ServedModel`.
+
+    ``port=0`` binds an ephemeral port — read it back from
+    ``server.server_address[1]``. Call ``serve_forever()`` (blocking) or
+    run it on a thread; ``shutdown()`` stops it.
+    """
+    handler = type("Handler", (_Handler,), {
+        "served": served, "lock": threading.Lock(), "quiet": quiet,
+    })
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def warmup(served, batch_sizes=(1,), seed: int = 0) -> list[str]:
+    """Pre-compile every function in the artifact at the given batch sizes.
+
+    Returns the list of warmed "function.modality@B" keys. Uses the
+    manifest's input shapes, so it works for both VAE-surface and
+    SR-pipeline artifacts.
+    """
+    warmed = []
+    for key, entry in served._manifest["functions"].items():
+        name = key.split(".")[0]
+        shape = entry["input_shape"]
+        for b in batch_sizes:
+            x = np.zeros([b] + shape[1:], np.float32)
+            if name == "super_resolve":
+                served.super_resolve(x, seed=seed)
+            else:
+                getattr(served, name)(x, modality=entry["modality"])
+            warmed.append(f"{key}@{b}")
+    return warmed

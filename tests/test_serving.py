@@ -477,3 +477,112 @@ def test_export_sr_pipeline_int8_cli(tmp_path):
     x = np.random.default_rng(0).standard_normal((1, 4, 32, 32)).astype(np.float32)
     y = np.asarray(served.super_resolve(x, seed=3), np.float32)
     assert y.shape == (1, 4, 32, 32) and np.isfinite(y).all()
+
+
+@pytest.mark.slow
+def test_http_server_round_trip(artifact):
+    """HTTP daemon: healthz/manifest, .npy round-trip matching the direct
+    call, 404 on unknown function, 400 on a malformed payload."""
+    import io
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from eovax.serving import ServedModel
+    from eovax.serving.server import make_server, warmup
+
+    _, out, _ = artifact
+    served = ServedModel.load(out)
+    warmed = warmup(served, batch_sizes=(2,))
+    assert "reconstruct.S2RGB@2" in warmed
+
+    httpd = make_server(served, port=0)  # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+        with urllib.request.urlopen(f"{base}/v1/manifest", timeout=30) as r:
+            assert json.load(r)["format"] == "eovax-serving-v1"
+
+        x = np.random.default_rng(2).standard_normal((2, 3, 32, 32)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            f"{base}/v1/reconstruct?modality=S2RGB", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "application/x-npy"
+            y = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        ref = np.asarray(served.reconstruct(x, modality="S2RGB"))
+        np.testing.assert_allclose(y, ref, atol=1e-6)
+
+        for url, code in [
+            (f"{base}/v1/nope", 404),                        # unknown function
+            (f"{base}/v1/reconstruct?modality=S1RTC", 404),  # not in artifact
+        ]:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(
+                    urllib.request.Request(url, data=buf.getvalue()), timeout=30)
+            assert ei.value.code == code
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/v1/reconstruct?modality=S2RGB", data=b"not npy"),
+                timeout=30)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
+
+
+@pytest.mark.slow
+def test_serve_cli_starts_and_answers(artifact, capsys, monkeypatch):
+    """cli/serve wires load → warmup → make_server → serve_forever: run it
+    with --port 0, intercept serve_forever to regain control, then hit
+    healthz on the server the CLI built."""
+    import json
+    import threading
+    import urllib.request
+
+    from eovax.cli.serve import main as serve_main
+    from eovax.serving import server as server_mod
+
+    _, out, _ = artifact
+    started = {}
+    real_make_server = server_mod.make_server
+
+    def capture_make_server(served, **kw):
+        started["httpd"] = real_make_server(served, **kw)
+        return started["httpd"]
+
+    class _Stop(Exception):
+        pass
+
+    def fake_serve_forever(self):
+        raise _Stop
+
+    monkeypatch.setattr(server_mod, "make_server", capture_make_server)
+    monkeypatch.setattr(
+        "http.server.HTTPServer.serve_forever", fake_serve_forever)
+    with pytest.raises(_Stop):
+        serve_main([out, "--port", "0", "--warmup", "1"])
+    monkeypatch.undo()
+
+    httpd = started["httpd"]
+    assert "warmed" in capsys.readouterr().out
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
