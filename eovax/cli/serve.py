@@ -57,10 +57,21 @@ def main(argv=None) -> None:
     fns = ", ".join(sorted(served._manifest["functions"]))
     print(f"serving {fns} on http://{host}:{port}/v1/ (GET /healthz, "
           "GET /v1/manifest)")
+    # Graceful SIGTERM: shutdown() must come from another thread than
+    # serve_forever (it blocks until the serve loop exits).
+    import signal
+    import threading
+
+    signal.signal(
+        signal.SIGTERM,
+        lambda s, f: threading.Thread(target=httpd.shutdown, daemon=True).start(),
+    )
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
-        httpd.shutdown()
+        pass
+    httpd.server_close()
+    print("shut down")
 
 
 if __name__ == "__main__":

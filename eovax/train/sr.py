@@ -145,29 +145,40 @@ class DiffusionSuperRes:
         # Host-side resume-aware counter (fetching state.step per iteration
         # would force a device sync inside the dispatch pipeline).
         global_step = int(state.step)
-        for i, batch in enumerate(train_iter):
-            # Global budget: a state resumed at step N trains the remaining
-            # max_steps − N steps, not max_steps more.
-            if global_step >= max_steps:
-                break
-            self._key, k = jax.random.split(self._key)
-            sharded = place_batch(
-                {"hr": batch["image_hr"], "lr": batch["image_lr"]}, self.mesh
-            )
-            state, logs = self._train_step(state, sharded["hr"], sharded["lr"], k)
-            global_step += 1
-            if self.log_every and (i + 1) % self.log_every == 0:
-                scalars = {k2: float(v) for k2, v in logs.items()}
-                # rate over this run; rows keyed by the resume-aware
-                # global step so a resumed run doesn't collide with the
-                # pre-preemption history.
-                scalars["steps_per_sec"] = (i + 1) / max(time.time() - t0, 1e-9)
-                if self.logger is not None:
-                    self.logger.log(global_step, scalars)
-            if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
-                self.save_checkpoint(state)
-            if val_every and val_iter_factory and (i + 1) % val_every == 0:
-                self.validate(state, val_iter_factory())
+        from eovax.utils.preemption import PreemptionGuard
+
+        with PreemptionGuard() as guard:
+            for i, batch in enumerate(train_iter):
+                # Global budget: a state resumed at step N trains the
+                # remaining max_steps − N steps, not max_steps more.
+                if global_step >= max_steps:
+                    break
+                self._key, k = jax.random.split(self._key)
+                sharded = place_batch(
+                    {"hr": batch["image_hr"], "lr": batch["image_lr"]}, self.mesh
+                )
+                state, logs = self._train_step(
+                    state, sharded["hr"], sharded["lr"], k
+                )
+                global_step += 1
+                if self.log_every and (i + 1) % self.log_every == 0:
+                    scalars = {k2: float(v) for k2, v in logs.items()}
+                    # rate over this run; rows keyed by the resume-aware
+                    # global step so a resumed run doesn't collide with the
+                    # pre-preemption history.
+                    scalars["steps_per_sec"] = (i + 1) / max(time.time() - t0, 1e-9)
+                    if self.logger is not None:
+                        self.logger.log(global_step, scalars)
+                if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
+                    self.save_checkpoint(state)
+                if val_every and val_iter_factory and (i + 1) % val_every == 0:
+                    self.validate(state, val_iter_factory())
+                if guard.should_stop(global_step):
+                    # Preemption notice (SIGTERM): fall through to the tail
+                    # save below so the resume point is THIS step.
+                    print(f"[sr] preemption signal — stopping at step "
+                          f"{global_step} (checkpoint will be saved)")
+                    break
         if self.ckpt_dir:
             self.save_checkpoint(state)
             self._checkpointer.wait()  # flush pending async writes

@@ -485,42 +485,51 @@ class Stage2Trainer:
         state = state if state is not None else self.init_state()
         t0 = time.time()
         global_step = int(state.step)  # resume-aware host-side counter
-        for i, batch in enumerate(train_iter):
-            if global_step >= self.max_steps:
-                # max_steps is the GLOBAL training budget: a resumed run
-                # finishes the remaining steps rather than training
-                # max_steps more (the optimizer schedule was built with
-                # total_steps=max_steps).
-                break
-            scale, angle = self._roll_mode()
-            self._key, step_key = jax.random.split(self._key)
-            sharded = place_batch(
-                {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
-            )
-            fn = self._jitted("train", scale, angle)
-            if self.adversarial:
-                state, logs, recon, target = fn(
-                    state, sharded["image"], sharded["wvs"], step_key
-                )
-                # Discriminator alternation gate (new_autoencoder.py:658-663).
-                disc_start = getattr(self.loss_obj, "disc_start",
-                                     getattr(self.loss_obj, "disc_update_start_step", 0))
-                disc_weight = getattr(self.loss_obj, "disc_weight", 0.0)
-                if global_step >= disc_start and disc_weight > 0.0:
-                    state, d_logs = self._jitted("disc")(
-                        state, target, sharded["wvs"], recon
-                    )
-                    logs = {**logs, **d_logs}
-            else:
-                state, logs = fn(state, sharded["image"], sharded["wvs"], step_key)
+        from eovax.utils.preemption import PreemptionGuard
 
-            global_step += 1
-            if self.log_every and (i + 1) % self.log_every == 0:
-                self._log(global_step, logs, t0, steps_this_run=i + 1)
-            if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
-                self.save_checkpoint(state)
-            if self.val_every and val_iter_factory and (i + 1) % self.val_every == 0:
-                self.validate(state, val_iter_factory())
+        with PreemptionGuard() as guard:
+            for i, batch in enumerate(train_iter):
+                if global_step >= self.max_steps:
+                    # max_steps is the GLOBAL training budget: a resumed run
+                    # finishes the remaining steps rather than training
+                    # max_steps more (the optimizer schedule was built with
+                    # total_steps=max_steps).
+                    break
+                scale, angle = self._roll_mode()
+                self._key, step_key = jax.random.split(self._key)
+                sharded = place_batch(
+                    {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
+                )
+                fn = self._jitted("train", scale, angle)
+                if self.adversarial:
+                    state, logs, recon, target = fn(
+                        state, sharded["image"], sharded["wvs"], step_key
+                    )
+                    # Discriminator alternation gate (new_autoencoder.py:658-663).
+                    disc_start = getattr(self.loss_obj, "disc_start",
+                                         getattr(self.loss_obj, "disc_update_start_step", 0))
+                    disc_weight = getattr(self.loss_obj, "disc_weight", 0.0)
+                    if global_step >= disc_start and disc_weight > 0.0:
+                        state, d_logs = self._jitted("disc")(
+                            state, target, sharded["wvs"], recon
+                        )
+                        logs = {**logs, **d_logs}
+                else:
+                    state, logs = fn(state, sharded["image"], sharded["wvs"], step_key)
+
+                global_step += 1
+                if self.log_every and (i + 1) % self.log_every == 0:
+                    self._log(global_step, logs, t0, steps_this_run=i + 1)
+                if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
+                    self.save_checkpoint(state)
+                if self.val_every and val_iter_factory and (i + 1) % self.val_every == 0:
+                    self.validate(state, val_iter_factory())
+                if guard.should_stop(global_step):
+                    # Preemption notice (SIGTERM): fall through to the tail
+                    # save below so the resume point is THIS step.
+                    print(f"[stage2] preemption signal — stopping at step "
+                          f"{global_step} (checkpoint will be saved)")
+                    break
         if self.ckpt_dir:
             self.save_checkpoint(state)
             self._checkpointer.wait()  # flush pending async writes
