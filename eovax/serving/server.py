@@ -14,6 +14,7 @@ and exposes its functions over HTTP with ``.npy`` payloads.
 Protocol (v1):
     GET  /healthz                  -> {"status": "ok"} once warm
     GET  /v1/manifest              -> the artifact manifest JSON
+    GET  /metrics                  -> per-function counts + latency p50/p99
     POST /v1/<function>?modality=M -> body:  .npy (NCHW float32)
                                       reply: .npy (NCHW float32)
     POST /v1/super_resolve?seed=N  -> SR-pipeline artifacts only
@@ -53,6 +54,44 @@ _ROUTES = (
 _MAX_BODY = 1 << 30  # 1 GiB — refuse absurd payloads before allocating
 
 
+class _Metrics:
+    """Per-function request counters + latency window (last 512 samples)."""
+
+    _WINDOW = 512
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._data: dict[str, dict] = {}
+
+    def record(self, name: str, ms: float, error: bool = False) -> None:
+        with self._lock:
+            d = self._data.setdefault(
+                name, {"count": 0, "errors": 0, "lat": []})
+            d["count"] += 1
+            if error:
+                d["errors"] += 1
+            else:
+                d["lat"].append(ms)
+                if len(d["lat"]) > self._WINDOW:
+                    d["lat"] = d["lat"][-self._WINDOW:]
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {}
+            for name, d in self._data.items():
+                lat = np.asarray(d["lat"]) if d["lat"] else None
+                out[name] = {
+                    "count": d["count"],
+                    "errors": d["errors"],
+                    **({} if lat is None else {
+                        "mean_ms": round(float(lat.mean()), 2),
+                        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+                        "p99_ms": round(float(np.percentile(lat, 99)), 2),
+                    }),
+                }
+            return out
+
+
 def _npy_bytes(arr) -> bytes:
     arr = np.asarray(arr)
     if arr.dtype not in (np.float32, np.float64):
@@ -68,6 +107,7 @@ class _Handler(BaseHTTPRequestHandler):
     # set per-server via type(); see make_server
     served = None
     lock: threading.Lock = None
+    metrics: _Metrics = None
     quiet = True
 
     protocol_version = "HTTP/1.1"
@@ -92,6 +132,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {"status": "ok"})
         elif path == "/v1/manifest":
             self._json(200, self.served._manifest)
+        elif path == "/metrics":
+            self._json(200, self.metrics.snapshot())
         else:
             self._json(404, {"error": f"unknown path {path!r}"})
 
@@ -112,6 +154,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(400, {"error": f"payload is not a valid .npy: {e}"})
             return
         q = parse_qs(url.query)
+        import time
+
+        t0 = time.perf_counter()
         try:
             with self.lock:
                 if name == "super_resolve":
@@ -122,11 +167,15 @@ class _Handler(BaseHTTPRequestHandler):
                     if "modality" in q:
                         kw["modality"] = q["modality"][0]
                     y = getattr(self.served, name)(x, **kw)
-            self._reply(200, _npy_bytes(y), "application/x-npy")
+                body = _npy_bytes(y)  # device fetch — count it as latency
+            self.metrics.record(name, (time.perf_counter() - t0) * 1e3)
+            self._reply(200, body, "application/x-npy")
         except KeyError as e:
             # function/modality not in this artifact
+            self.metrics.record(name, 0.0, error=True)
             self._json(404, {"error": str(e)})
         except Exception as e:
+            self.metrics.record(name, 0.0, error=True)
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
 
@@ -139,7 +188,8 @@ def make_server(served, host: str = "127.0.0.1", port: int = 8000,
     run it on a thread; ``shutdown()`` stops it.
     """
     handler = type("Handler", (_Handler,), {
-        "served": served, "lock": threading.Lock(), "quiet": quiet,
+        "served": served, "lock": threading.Lock(), "metrics": _Metrics(),
+        "quiet": quiet,
     })
     return ThreadingHTTPServer((host, port), handler)
 

@@ -54,14 +54,20 @@ class PreemptionGuard:
     def __enter__(self) -> "PreemptionGuard":
         for sig in self._signals:
             prev = signal.getsignal(sig)
-            self._prev[sig] = prev
 
             def _handler(signum, frame, _prev=prev):
                 _flag.set()
                 if callable(_prev):
                     _prev(signum, frame)
 
-            signal.signal(sig, _handler)
+            try:
+                signal.signal(sig, _handler)
+            except ValueError:
+                # fit() running on a non-main thread: signal.signal is
+                # main-thread-only. The guard stays inert (should_stop
+                # still honors a flag set by a main-thread guard).
+                continue
+            self._prev[sig] = prev
         return self
 
     def __exit__(self, *exc) -> None:

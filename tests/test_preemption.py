@@ -37,6 +37,26 @@ def test_guard_sets_flag_restores_and_chains():
         signal.signal(signal.SIGTERM, prev)
 
 
+def test_guard_inert_off_main_thread():
+    """signal.signal is main-thread-only; a guard entered on a worker
+    thread (e.g. fit() embedded in a serving process) must not crash."""
+    import threading
+
+    result = {}
+
+    def run():
+        try:
+            with preemption.PreemptionGuard() as g:
+                result["stop"] = g.should_stop(1)
+        except Exception as e:  # pragma: no cover
+            result["error"] = e
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join(10)
+    assert "error" not in result and result["stop"] is False
+
+
 def test_flag_survives_across_guards():
     """A signal between two fit() calls still stops the next one."""
     with preemption.PreemptionGuard():

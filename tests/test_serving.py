@@ -536,6 +536,13 @@ def test_http_server_round_trip(artifact):
                     f"{base}/v1/reconstruct?modality=S2RGB", data=b"not npy"),
                 timeout=30)
         assert ei.value.code == 400
+
+        # /metrics: 1 ok call + 1 modality-miss error recorded under
+        # "reconstruct" (the unknown-function and malformed-payload
+        # requests never reach dispatch and are not per-function counted).
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+            m = json.load(r)["reconstruct"]
+        assert m["count"] == 2 and m["errors"] == 1 and m["p50_ms"] > 0
     finally:
         httpd.shutdown()
         t.join(timeout=10)
