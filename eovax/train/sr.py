@@ -9,6 +9,7 @@ DDIM sampling and MSE against the HR latent.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Iterator
 
@@ -87,7 +88,9 @@ class DiffusionSuperRes:
         tx = self.tx
         schedule = self.schedule
 
-        @jax.jit
+        # Donate the in-state: params/opt_state buffers are dead after the
+        # update, so XLA reuses them in place (same as stage2's train jit).
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, hr, lr_cond, rng):
             t_key, n_key = jax.random.split(rng)
             t = jax.random.uniform(t_key, (hr.shape[0],))
