@@ -41,14 +41,21 @@ def main(argv=None) -> None:
     from eovax.serving.server import make_server, warmup
 
     served = ServedModel.load(args.artifact)
+    warm_batches = list(args.warmup)
     if args.mesh:
         from eovax.parallel.mesh import make_mesh
 
         mesh = make_mesh()
         served = served.with_mesh(mesh)
-        print(f"data-parallel over {mesh.devices.size} devices")
-    if args.warmup:
-        warmed = warmup(served, batch_sizes=tuple(args.warmup))
+        n = int(mesh.devices.size)
+        print(f"data-parallel over {n} devices")
+        # Real traffic with batch % devices == 0 takes the SHARDED jit
+        # specialization; warm that too, or the first production batch
+        # eats the compile the warm-up was supposed to prevent.
+        if warm_batches and not any(b % n == 0 for b in warm_batches):
+            warm_batches.append(n)
+    if warm_batches:
+        warmed = warmup(served, batch_sizes=tuple(warm_batches))
         print(f"warmed {len(warmed)} function×batch combinations")
 
     httpd = make_server(served, host=args.host, port=args.port,
@@ -62,7 +69,7 @@ def main(argv=None) -> None:
     import signal
     import threading
 
-    signal.signal(
+    prev_term = signal.signal(
         signal.SIGTERM,
         lambda s, f: threading.Thread(target=httpd.shutdown, daemon=True).start(),
     )
@@ -70,7 +77,13 @@ def main(argv=None) -> None:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
-    httpd.server_close()
+    finally:
+        # close the listening socket and drop our handler even if the
+        # serve loop died on an exception (port would stay bound, and a
+        # later SIGTERM would hit a shutdown thread for a dead server)
+        httpd.server_close()
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
     print("shut down")
 
 

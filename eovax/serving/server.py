@@ -12,7 +12,10 @@ and exposes its functions over HTTP with ``.npy`` payloads.
     httpd.serve_forever()            # or: python -m eovax.cli.serve artifact/
 
 Protocol (v1):
-    GET  /healthz                  -> {"status": "ok"} once warm
+    GET  /healthz                  -> {"status": "ok"} (liveness; run
+                                      warmup() before serve_forever so
+                                      live also means compiled — the CLI
+                                      does)
     GET  /v1/manifest              -> the artifact manifest JSON
     GET  /metrics                  -> per-function counts + latency p50/p99
     POST /v1/<function>?modality=M -> body:  .npy (NCHW float32)
@@ -138,6 +141,21 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": f"unknown path {path!r}"})
 
     def do_POST(self):  # noqa: N802
+        # Read (drain) the body FIRST: with HTTP/1.1 keep-alive, replying
+        # without consuming the body leaves its bytes in the socket to be
+        # parsed as the next request line, desyncing the connection.
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            length = -1
+        if not 0 < length <= _MAX_BODY:
+            # can't safely drain an absent/absurd body — close instead
+            self.close_connection = True
+            self._json(400, {"error": f"bad Content-Length "
+                             f"{self.headers.get('Content-Length')!r}"})
+            return
+        raw = self.rfile.read(length)
+
         url = urlparse(self.path)
         name = url.path.removeprefix("/v1/")
         if url.path == name or name not in _ROUTES:
@@ -145,38 +163,47 @@ class _Handler(BaseHTTPRequestHandler):
                              "functions": list(_ROUTES)})
             return
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            if not 0 < length <= _MAX_BODY:
-                self._json(400, {"error": f"bad Content-Length {length}"})
-                return
-            x = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
+            x = np.load(io.BytesIO(raw), allow_pickle=False)
         except Exception as e:  # malformed .npy
             self._json(400, {"error": f"payload is not a valid .npy: {e}"})
             return
+        # Client-input validation (a bad query param is a 400, not a 500).
         q = parse_qs(url.query)
+        try:
+            seed = int(q.get("seed", ["0"])[0])
+        except ValueError:
+            self._json(400, {"error": f"seed must be an int, got "
+                             f"{q['seed'][0]!r}"})
+            return
         import time
 
         t0 = time.perf_counter()
         try:
             with self.lock:
                 if name == "super_resolve":
-                    y = self.served.super_resolve(
-                        x, seed=int(q.get("seed", ["0"])[0]))
+                    y = self.served.super_resolve(x, seed=seed)
                 else:
                     kw = {}
                     if "modality" in q:
                         kw["modality"] = q["modality"][0]
                     y = getattr(self.served, name)(x, **kw)
                 body = _npy_bytes(y)  # device fetch — count it as latency
-            self.metrics.record(name, (time.perf_counter() - t0) * 1e3)
-            self._reply(200, body, "application/x-npy")
         except KeyError as e:
             # function/modality not in this artifact
             self.metrics.record(name, 0.0, error=True)
             self._json(404, {"error": str(e)})
+            return
         except Exception as e:
             self.metrics.record(name, 0.0, error=True)
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self.metrics.record(name, (time.perf_counter() - t0) * 1e3)
+        try:
+            self._reply(200, body, "application/x-npy")
+        except (BrokenPipeError, ConnectionResetError):
+            # client went away mid-reply; the request itself succeeded —
+            # don't re-count it or write a 500 into the dead socket
+            self.close_connection = True
 
 
 def make_server(served, host: str = "127.0.0.1", port: int = 8000,

@@ -150,7 +150,10 @@ class DiffusionSuperRes:
         global_step = int(state.step)
         from eovax.utils.preemption import PreemptionGuard
 
-        with PreemptionGuard() as guard:
+        # sync_every=10: multi-host flag agreement is a blocking
+        # allgather — once per 10 steps bounds the stop latency
+        # without a per-step host sync in the dispatch pipeline.
+        with PreemptionGuard(sync_every=10) as guard:
             for i, batch in enumerate(train_iter):
                 # Global budget: a state resumed at step N trains the
                 # remaining max_steps − N steps, not max_steps more.
@@ -164,6 +167,14 @@ class DiffusionSuperRes:
                     state, sharded["hr"], sharded["lr"], k
                 )
                 global_step += 1
+                if guard.should_stop(global_step):
+                    # Preemption notice (SIGTERM). Checked BEFORE the
+                    # periodic ckpt/validate blocks so post-signal work is
+                    # bounded by one train step; the tail save below makes
+                    # THIS step the resume point.
+                    print(f"[sr] preemption signal — stopping at step "
+                          f"{global_step} (checkpoint will be saved)")
+                    break
                 if self.log_every and (i + 1) % self.log_every == 0:
                     scalars = {k2: float(v) for k2, v in logs.items()}
                     # rate over this run; rows keyed by the resume-aware
@@ -176,12 +187,6 @@ class DiffusionSuperRes:
                     self.save_checkpoint(state)
                 if val_every and val_iter_factory and (i + 1) % val_every == 0:
                     self.validate(state, val_iter_factory())
-                if guard.should_stop(global_step):
-                    # Preemption notice (SIGTERM): fall through to the tail
-                    # save below so the resume point is THIS step.
-                    print(f"[sr] preemption signal — stopping at step "
-                          f"{global_step} (checkpoint will be saved)")
-                    break
         if self.ckpt_dir:
             self.save_checkpoint(state)
             self._checkpointer.wait()  # flush pending async writes

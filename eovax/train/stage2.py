@@ -487,7 +487,10 @@ class Stage2Trainer:
         global_step = int(state.step)  # resume-aware host-side counter
         from eovax.utils.preemption import PreemptionGuard
 
-        with PreemptionGuard() as guard:
+        # sync_every=10: multi-host flag agreement is a blocking
+        # allgather — once per 10 steps bounds the stop latency
+        # without a per-step host sync in the dispatch pipeline.
+        with PreemptionGuard(sync_every=10) as guard:
             for i, batch in enumerate(train_iter):
                 if global_step >= self.max_steps:
                     # max_steps is the GLOBAL training budget: a resumed run
@@ -518,18 +521,21 @@ class Stage2Trainer:
                     state, logs = fn(state, sharded["image"], sharded["wvs"], step_key)
 
                 global_step += 1
+                if guard.should_stop(global_step):
+                    # Preemption notice (SIGTERM). Checked BEFORE the
+                    # periodic ckpt/validate blocks so post-signal work is
+                    # bounded by one train step (an eviction grace window
+                    # is ~30s); the tail save below makes THIS step the
+                    # resume point.
+                    print(f"[stage2] preemption signal — stopping at step "
+                          f"{global_step} (checkpoint will be saved)")
+                    break
                 if self.log_every and (i + 1) % self.log_every == 0:
                     self._log(global_step, logs, t0, steps_this_run=i + 1)
                 if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
                     self.save_checkpoint(state)
                 if self.val_every and val_iter_factory and (i + 1) % self.val_every == 0:
                     self.validate(state, val_iter_factory())
-                if guard.should_stop(global_step):
-                    # Preemption notice (SIGTERM): fall through to the tail
-                    # save below so the resume point is THIS step.
-                    print(f"[stage2] preemption signal — stopping at step "
-                          f"{global_step} (checkpoint will be saved)")
-                    break
         if self.ckpt_dir:
             self.save_checkpoint(state)
             self._checkpointer.wait()  # flush pending async writes

@@ -18,9 +18,12 @@ last `ckpt_every` multiple.
 Multi-host: every host of a preempted slice receives SIGTERM, but delivery
 is not synchronized — if hosts broke out of the loop at different steps,
 the next collective would desync. `should_stop` therefore ORs the local
-flags across processes (a tiny allgather) at a fixed step cadence
-(`sync_every`, default 1: the array is one uint8 — negligible next to a
-train step), so all hosts agree on the same stop step.
+flags across processes at a fixed step cadence (`sync_every`), so all
+hosts agree on the same stop step. The allgather is one uint8 but it
+BLOCKS the host until the queued device work drains, so a per-step
+cadence would serialize dispatch with compute — trainers use
+sync_every=10 (stop latency ≤10 steps, no steady-state stall).
+Single-process runs check the local flag every call regardless.
 """
 
 from __future__ import annotations
@@ -72,6 +75,11 @@ class PreemptionGuard:
 
     def __exit__(self, *exc) -> None:
         for sig, prev in self._prev.items():
+            if prev is None:
+                # getsignal() returns None for handlers installed by
+                # non-Python code (embedding host / C extension);
+                # signal.signal rejects None — leave ours in place.
+                continue
             signal.signal(sig, prev)
         self._prev.clear()
 

@@ -543,18 +543,43 @@ def test_http_server_round_trip(artifact):
         with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
             m = json.load(r)["reconstruct"]
         assert m["count"] == 2 and m["errors"] == 1 and m["p50_ms"] > 0
+
+        # HTTP/1.1 keep-alive: an error reply must DRAIN the request body,
+        # or its bytes desync the next request on the same connection.
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        try:
+            conn.request("POST", "/v1/nope", body=buf.getvalue())
+            r1 = conn.getresponse()
+            assert r1.status == 404 and r1.read()
+            # bad query param → 400 (client error, not 500), same conn
+            conn.request("POST", "/v1/reconstruct?modality=S2RGB&seed=abc",
+                         body=buf.getvalue())
+            r2 = conn.getresponse()
+            assert r2.status == 400 and b"seed" in r2.read()
+            # the connection is still in sync: a good request succeeds
+            conn.request("POST", "/v1/reconstruct?modality=S2RGB",
+                         body=buf.getvalue())
+            r3 = conn.getresponse()
+            assert r3.status == 200
+            y2 = np.load(io.BytesIO(r3.read()), allow_pickle=False)
+            np.testing.assert_allclose(y2, ref, atol=1e-6)
+        finally:
+            conn.close()
     finally:
         httpd.shutdown()
         t.join(timeout=10)
 
 
 @pytest.mark.slow
-def test_serve_cli_starts_and_answers(artifact, capsys, monkeypatch):
-    """cli/serve wires load → warmup → make_server → serve_forever: run it
-    with --port 0, intercept serve_forever to regain control, then hit
-    healthz on the server the CLI built."""
+def test_serve_cli_starts_serves_and_cleans_up(artifact, capsys, monkeypatch):
+    """cli/serve wires load → warmup → make_server → serve_forever and, on
+    exit, closes the listening socket and restores the SIGTERM handler.
+    serve_forever is intercepted to answer one healthz request and then
+    return (as a real SIGTERM-triggered shutdown() would)."""
     import json
-    import threading
+    import signal
     import urllib.request
 
     from eovax.cli.serve import main as serve_main
@@ -568,28 +593,30 @@ def test_serve_cli_starts_and_answers(artifact, capsys, monkeypatch):
         started["httpd"] = real_make_server(served, **kw)
         return started["httpd"]
 
-    class _Stop(Exception):
-        pass
+    def serve_one_then_return(self):
+        port = self.server_address[1]
+        import threading
 
-    def fake_serve_forever(self):
-        raise _Stop
+        def probe():
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+                started["health"] = json.load(r)["status"]
 
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        self.handle_request()  # serve exactly the probe, then "shut down"
+        t.join(timeout=10)
+
+    prev_term = signal.getsignal(signal.SIGTERM)
     monkeypatch.setattr(server_mod, "make_server", capture_make_server)
     monkeypatch.setattr(
-        "http.server.HTTPServer.serve_forever", fake_serve_forever)
-    with pytest.raises(_Stop):
-        serve_main([out, "--port", "0", "--warmup", "1"])
+        "http.server.HTTPServer.serve_forever", serve_one_then_return)
+    serve_main([out, "--port", "0", "--warmup", "1"])
     monkeypatch.undo()
 
-    httpd = started["httpd"]
-    assert "warmed" in capsys.readouterr().out
-    t = threading.Thread(target=httpd.serve_forever, daemon=True)
-    t.start()
-    try:
-        port = httpd.server_address[1]
-        with urllib.request.urlopen(
-                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
-            assert json.load(r)["status"] == "ok"
-    finally:
-        httpd.shutdown()
-        t.join(timeout=10)
+    out_text = capsys.readouterr().out
+    assert "warmed" in out_text and "shut down" in out_text
+    assert started["health"] == "ok"
+    # listening socket closed and the SIGTERM handler restored
+    assert started["httpd"].socket.fileno() == -1
+    assert signal.getsignal(signal.SIGTERM) is prev_term
