@@ -233,6 +233,18 @@ def main(argv=None) -> None:
         model.variables = trainer.export_variables(state)
         model.save(os.path.join(exp_dir, "eo-vae-final.msgpack"))
         print(f"Saved final model to {exp_dir}/eo-vae-final.msgpack")
+        # Also publish the best-by-val/loss_rec model (the reference's
+        # artifact of record: ModelCheckpoint(monitor='val/loss_rec',
+        # save_top_k=1), train.py:155-162) — sr CLI does the same.
+        best = trainer.restore_best()
+        if best is not None:
+            info = trainer._checkpointer.best_info()
+            model.variables = trainer.export_variables(best)
+            model.save(os.path.join(exp_dir, "eo-vae-best.msgpack"))
+            print(
+                f"Saved best model ({trainer.monitor}={info['metric']:.6g} "
+                f"@ step {info['step']}) to {exp_dir}/eo-vae-best.msgpack"
+            )
 
 
 if __name__ == "__main__":

@@ -374,3 +374,43 @@ def test_csv_logger_appends_linear(tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 13
     assert [r["step"] for r in rows] == [str(s) for s in range(1, 14)]
+
+
+@pytest.mark.slow
+def test_train_cli_publishes_best_model(tmp_path, capsys):
+    """Non-debug runs publish BOTH eo-vae-final.msgpack and the
+    best-by-val/loss_rec eo-vae-best.msgpack (reference ModelCheckpoint
+    monitor='val/loss_rec' save_top_k=1, train.py:155-162)."""
+    import os
+
+    from eovax.cli.train import main as train_main
+
+    config = tmp_path / "train.yaml"
+    config.write_text(
+        """
+model:
+  base_lr: 1e-3
+  clip_grad: 1.0
+  loss_fn: {_target_: eo_vae.models.modules.consistency_loss.EOConsistencyLoss,
+            rec_loss_type: char, pixel_weight: 1.0}
+  encoder: {z_channels: 8, resolution: 32, in_channels: 3, ch: 32,
+            ch_mult: [1, 2], num_res_blocks: 1, use_dynamic_ops: True,
+            dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}}
+  decoder: {z_channels: 8, resolution: 32, out_ch: 3, ch: 32,
+            ch_mult: [1, 2], num_res_blocks: 1, use_dynamic_ops: True,
+            dynamic_conv_kwargs: {num_layers: 1, wv_planes: 64}}
+datamodule: {batch_size: 4, eval_batch_size: 4, target_size: [32, 32],
+             modalities: [S2RGB]}
+trainer: {max_epochs: 1, limit_train_batches: 1, log_every_n_steps: 0}
+experiment: {exp_dir: %s, experiment_name: best-test}
+""" % tmp_path
+    )
+    exp = tmp_path / "exp"
+    train_main([
+        "--config", str(config), "--synthetic-data", "--max-steps", "2",
+        "--precision", "32-true", "--resume-dir", str(exp),
+    ])
+    out = capsys.readouterr().out
+    assert os.path.exists(exp / "eo-vae-final.msgpack")
+    assert os.path.exists(exp / "eo-vae-best.msgpack"), out
+    assert "Saved best model (val/loss_rec=" in out
