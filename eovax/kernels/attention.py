@@ -113,7 +113,10 @@ def sdpa_auto(
     (measured on v5e: 7.8 ms vs 10.5 ms plain at 4k tokens ch512 B=8, and
     O(S·D) memory instead of the S² logits — 1 GB/sample at 16k)."""
     b, s, d = q.shape
-    on_tpu = jax.default_backend() not in ("cpu",)
+    # Positive TPU check: the Pallas kernel uses pltpu VMEM scratch and
+    # would fail to lower on GPU; "not cpu" would wrongly take it there.
+    # (This host's tunnel backend reports "axon", a TPU.)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     if s >= flash_threshold and s % 512 == 0 and on_tpu:
         return flash_attention(q, k, v)
     scale = 1.0 / (d**0.5)

@@ -192,6 +192,8 @@ def _eligible_kernel(path, leaf) -> bool:
     AND its parent block scope (stride is invisible here — the stride-2
     Downsample conv has an identically-shaped kernel — and plain-conv
     modules may reuse the conv1/conv2 names)."""
+    import numpy as _np
+
     return (
         len(path) >= 2
         and path[-1] in _PREQUANT_CONV_NAMES
@@ -200,6 +202,11 @@ def _eligible_kernel(path, leaf) -> bool:
         and getattr(leaf, "ndim", 0) == 4
         and tuple(leaf.shape[:2]) == (3, 3)
         and min(leaf.shape[2], leaf.shape[3]) >= 128
+        # Float kernels only: re-exporting an already-quantized tree must
+        # pass int8 kernels (and their kernel_scale) through untouched —
+        # re-quantizing the raw int8 integers and then overwriting the new
+        # scale with the stale one would silently corrupt the weights.
+        and _np.issubdtype(_np.dtype(leaf.dtype), _np.floating)
     )
 
 

@@ -33,15 +33,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+#: env vars whose presence marks a multi-host launch (jax.distributed
+#: auto-detects the rest): explicit coordinator, or a Cloud TPU pod task.
+_DIST_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "CLOUD_TPU_TASK_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+)
+
+
 def init_distributed(**kwargs) -> None:
-    """Multi-host init (idempotent). On a single host this is a no-op."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # Single-process run without coordinator env — fine.
-        pass
+    """Multi-host init (idempotent). On a single host this is a no-op.
+
+    The is-this-multi-host decision must not touch the XLA backend:
+    calling e.g. ``jax.process_count()`` first would initialize the local
+    backend, after which ``jax.distributed.initialize`` RAISES — and
+    swallowing that error would leave a pod silently running N
+    independent single-host jobs (divergent models, no error). So:
+    initialize iff explicitly parameterized (kwargs) or a coordinator /
+    pod launch is visible in the environment, and let real failures
+    propagate.
+    """
+    import os
+
+    if jax.distributed.is_initialized():
+        return
+    if not kwargs and not any(v in os.environ for v in _DIST_ENV_VARS):
+        return  # single-host run — nothing to initialize
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(devices: list | None = None, axis: str = DATA_AXIS) -> Mesh:
@@ -84,24 +105,47 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     return jax.tree_util.tree_map(place, batch)
 
 
-def global_batch_from_local(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
+#: leaf names that are per-modality constants, identical on every host
+#: (NOT per-sample data) — assembled replicated in multi-host batches.
+REPLICATED_BATCH_KEYS = ("wvs",)
+
+
+def global_batch_from_local(
+    batch: Any,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    replicated_keys: tuple[str, ...] = REPLICATED_BATCH_KEYS,
+) -> Any:
     """Multi-host: assemble per-process local batches into global arrays.
 
-    Image-like leaves (ndim ≥ 2) are treated as this process's slice of the
-    global batch (the data pipeline shards tar shards per host, so each
-    host's batch is already its local portion); small vectors/scalars (the
-    shared ``wvs``) are replicated — every process passes the same value.
+    Leaves with ndim ≥ 2 are this process's slice of the global batch (the
+    data pipeline shards tar shards per host); scalars and leaves named in
+    ``replicated_keys`` (the shared ``wvs``) are replicated — every process
+    must pass the same value. Any OTHER 1-D leaf is rejected: assembling a
+    per-sample vector (labels, sample weights) as "replicated" while hosts
+    hold different values would make XLA assume identical contents
+    everywhere — silently divergent gradients. Per-sample 1-D data belongs
+    in the batch with an explicit trailing axis (``x[:, None]``) or its
+    key added to ``replicated_keys`` if it truly is host-invariant.
     """
     data_sh = batch_sharding(mesh, axis)
     repl_sh = replicated_sharding(mesh)
 
-    def place(x):
+    def place(path, x):
         x = np.asarray(x)
         if x.ndim >= 2:
             return jax.make_array_from_process_local_data(data_sh, x)
-        return jax.make_array_from_process_local_data(repl_sh, x)
+        name = getattr(path[-1], "key", None) if path else None
+        if x.ndim == 0 or name in replicated_keys:
+            return jax.make_array_from_process_local_data(repl_sh, x)
+        raise ValueError(
+            f"global_batch_from_local: 1-D batch leaf {name!r} is neither "
+            f"a known replicated key {replicated_keys} nor image-like; "
+            "refusing to guess whether it is per-sample (shard) or "
+            "host-invariant (replicate)"
+        )
 
-    return jax.tree_util.tree_map(place, batch)
+    return jax.tree_util.tree_map_with_path(place, batch)
 
 
 def local_numpy(x) -> np.ndarray:

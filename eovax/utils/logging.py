@@ -16,26 +16,26 @@ from typing import Any
 class CSVLogger:
     """metrics.csv with a growing union of columns.
 
-    Rows are **appended** (O(1) per log call); the file is rewritten only
-    when a new column first appears — a whole-file rewrite per row would
-    be O(rows²) over a 100k-step run (VERDICT r2 weak #6)."""
+    Rows are **appended** (O(1) per log call) and NO history is kept in
+    memory (O(1) RSS over a 100k-step run). When a new column first
+    appears, the existing file is re-read once and rewritten with the
+    wider header (rare: columns stabilize after the first val pass).
+    On resume (--resume-dir) only the header is read, so prior history
+    is preserved and appended to."""
 
     def __init__(self, log_dir: str, name: str = "metrics.csv"):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, name)
         self._fields: list[str] = ["step", "wall_time"]
-        self._rows: list[dict[str, Any]] = []
         self._header_written = False
-        # Resume into an existing experiment dir (--resume-dir): adopt the
-        # pre-preemption history so the first log() appends instead of
-        # truncating it with a fresh header rewrite.
+        # Resume into an existing experiment dir: adopt the existing
+        # header so the first log() appends instead of truncating.
         if os.path.exists(self.path):
             with open(self.path, newline="") as f:
-                reader = csv.DictReader(f)
-                if reader.fieldnames:
-                    self._fields = list(reader.fieldnames)
-                    self._rows = [dict(r) for r in reader]
-                    self._header_written = True
+                fieldnames = csv.DictReader(f).fieldnames
+            if fieldnames:
+                self._fields = list(fieldnames)
+                self._header_written = True
 
     def log(self, step: int, scalars: dict[str, float]) -> None:
         # wall_time at fixed precision: stable row byte-length (and stable
@@ -46,19 +46,25 @@ class CSVLogger:
             if k not in self._fields:
                 self._fields.append(k)
                 grew = True
-        self._rows.append(row)
         if grew or not self._header_written:
-            self._rewrite()
+            self._rewrite_with_row(row)
             self._header_written = True
         else:
             with open(self.path, "a", newline="") as f:
                 csv.DictWriter(f, fieldnames=self._fields).writerow(row)
 
-    def _rewrite(self) -> None:
+    def _rewrite_with_row(self, row: dict[str, Any]) -> None:
+        """Re-read the existing rows (if any), rewrite with the widened
+        header, and append ``row`` — the only non-append path."""
+        old_rows: list[dict[str, Any]] = []
+        if self._header_written and os.path.exists(self.path):
+            with open(self.path, newline="") as f:
+                old_rows = [dict(r) for r in csv.DictReader(f)]
         with open(self.path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self._fields)
             writer.writeheader()
-            writer.writerows(self._rows)
+            writer.writerows(old_rows)
+            writer.writerow(row)
 
 
 class WandbLogger:

@@ -19,9 +19,20 @@ import time
 
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/eovax_trace", *, host_tracer_level: int = 2):
+    """Capture a TensorBoard-loadable profiler trace around the block.
+
+    ``host_tracer_level``: 0 disables host (python) tracing, 1 traces
+    only significant host events, 2 (default) is verbose — forwarded to
+    ``jax.profiler.ProfileOptions`` when this jax version supports it.
+    """
     import jax
 
-    jax.profiler.start_trace(log_dir)
+    kwargs = {}
+    if hasattr(jax.profiler, "ProfileOptions"):  # jax ≥ 0.4.33
+        opts = jax.profiler.ProfileOptions()
+        opts.host_tracer_level = host_tracer_level
+        kwargs["profiler_options"] = opts
+    jax.profiler.start_trace(log_dir, **kwargs)
     try:
         yield log_dir
     finally:

@@ -30,8 +30,17 @@ class RunningStats:
     def update(self, x) -> None:
         x = np.asarray(x, np.float64)
         batch_mean = x.mean(axis=self.dims)
-        batch_var = x.var(axis=self.dims, ddof=1) if x.size > 1 else np.zeros_like(batch_mean)
         batch_count = float(np.prod([x.shape[d] for d in self.dims]))
+        # ddof=1 matches the reference's torch.var(unbiased=True) — its
+        # M2_b is then overstated by n/(n-1), immaterial at real batch
+        # sizes and kept for latent_stats.json parity. The guard must be
+        # on the REDUCED count per channel: a batch with one sample per
+        # channel has x.size == n_channels > 1 but ddof=1 divides by
+        # zero, and a single NaN would poison the accumulator forever.
+        if batch_count > 1:
+            batch_var = x.var(axis=self.dims, ddof=1)
+        else:
+            batch_var = np.zeros_like(batch_mean)
 
         n_ab = self.count + batch_count
         m_a = self.mean * self.count

@@ -341,8 +341,13 @@ def load_reference_checkpoint(
         critical = [
             m for m in missing if not any(m.startswith(a) for a in allowed)
         ]
-        # Distilled checkpoints legitimately load only the stems.
-        if "encoder_conv_in_state_dict" not in raw and critical:
+        # Distilled checkpoints legitimately load only the stems — either
+        # stem key marks format 2 (a decoder-only distill is valid).
+        distilled = (
+            "encoder_conv_in_state_dict" in raw
+            or "decoder_conv_out_state_dict" in raw
+        )
+        if not distilled and critical:
             raise ValueError(
                 f"Critical weights missing from checkpoint ({len(critical)}): "
                 f"{critical[:10]}"

@@ -414,3 +414,20 @@ experiment: {exp_dir: %s, experiment_name: best-test}
     assert os.path.exists(exp / "eo-vae-final.msgpack")
     assert os.path.exists(exp / "eo-vae-best.msgpack"), out
     assert "Saved best model (val/loss_rec=" in out
+
+
+def test_running_stats_single_sample_batch_stays_finite():
+    """A batch with ONE reduced sample per channel (x.size == channels)
+    must not poison the accumulator with ddof=1 NaNs (round-3 review)."""
+    import numpy as np
+
+    from eovax.utils.stats import RunningStats
+
+    g = np.random.default_rng(0)
+    rs = RunningStats((3,), (0, 1, 2))
+    big = g.standard_normal((4, 2, 2, 3))
+    rs.update(big)
+    rs.update(g.standard_normal((1, 1, 1, 3)))  # ddof=1 would divide by 0
+    assert np.isfinite(rs.var).all() and np.isfinite(rs.std).all()
+    # accumulator still tracks the data (loose check vs the big batch)
+    assert np.all(rs.count == 4 * 2 * 2 + 1)

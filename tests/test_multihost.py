@@ -149,3 +149,38 @@ def test_real_two_process_training():
         ck1, _ = float(vals[1][0]), float(vals[1][1])
         assert ck0 == ck1, (ck0, ck1)  # replicas in lockstep across hosts
         assert abs(ck0 - init0) > 1e-6  # training actually moved params
+
+
+def test_global_batch_rejects_ambiguous_1d_leaf():
+    """A 1-D per-sample leaf (labels/weights) must not be silently
+    assembled as 'replicated' — hosts could hold different values while
+    XLA assumes identical contents (divergent gradients, no error)."""
+    mesh = make_mesh()
+    batch = {**_batch(), "labels": np.arange(16, dtype=np.float32)}
+    with pytest.raises(ValueError, match="labels"):
+        global_batch_from_local(batch, mesh)
+    # scalars and the known replicated key still pass
+    ok = global_batch_from_local(
+        {**_batch(), "tau": np.float32(0.5)}, mesh
+    )
+    assert ok["tau"].sharding.is_fully_replicated
+
+
+def test_init_distributed_noop_without_env_raises_with(monkeypatch):
+    """Without a coordinator env this is a no-op; WITH one, a real
+    initialize() failure must PROPAGATE — the round-3 review found the
+    old blanket except left pods silently running N single-host jobs."""
+    from eovax.parallel.mesh import init_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "CLOUD_TPU_TASK_ID", "MEGASCALE_COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    init_distributed()  # no env, backend already up → silently no-op
+    assert jax.process_count() == 1
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    # The test process's backend is already initialized, so initialize()
+    # must raise — swallowing this is exactly the audited failure mode.
+    with pytest.raises(RuntimeError):
+        init_distributed()

@@ -232,3 +232,31 @@ def test_calibration_sow_and_reduce():
     assert float(qp["mid_block_1"]["conv1"]["act_scale"]) == np.float32(
         scales[("conv1",)]
     )
+
+
+def test_quantize_params_int8_idempotent():
+    """Re-exporting an already-quantized tree must pass int8 kernels and
+    their scales through UNCHANGED: the pre-fix walk re-quantized the raw
+    int8 integers and then overwrote the fresh scale with the stale one
+    (silently corrupt weights)."""
+    from eovax.kernels.qconv import quantize_params_int8
+
+    g = np.random.default_rng(7)
+    params = {
+        "mid_block_1": {
+            "conv1": {
+                "kernel": jnp.asarray(g.standard_normal((3, 3, 128, 128)),
+                                      jnp.float32),
+                "bias": jnp.zeros((128,), jnp.float32),
+            }
+        }
+    }
+    q1, n1 = quantize_params_int8(params)
+    assert n1 == 1
+    q2, n2 = quantize_params_int8(q1)
+    assert n2 == 0
+    c1, c2 = q1["mid_block_1"]["conv1"], q2["mid_block_1"]["conv1"]
+    np.testing.assert_array_equal(np.asarray(c1["kernel"]), np.asarray(c2["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(c1["kernel_scale"]), np.asarray(c2["kernel_scale"])
+    )
