@@ -189,8 +189,11 @@ class EOConsistencyLoss:
             f_rec = self.dofa_features(reconstructions, wvs)
             l_feat = jnp.asarray(0.0, jnp.float32)
             for fi, fr in zip(f_in, f_rec):
-                num = jnp.sum(fi * fr, axis=-1)
-                den = jnp.linalg.norm(fi, axis=-1) * jnp.linalg.norm(fr, axis=-1) + 1e-8
+                # axis=1: the reference's F.cosine_similarity(fi, fr, dim=1)
+                # normalizes over the TOKEN axis of [B, N, D] features
+                # (consistency_loss.py:323-325), not the feature axis.
+                num = jnp.sum(fi * fr, axis=1)
+                den = jnp.linalg.norm(fi, axis=1) * jnp.linalg.norm(fr, axis=1) + 1e-8
                 l_feat = l_feat + jnp.mean(1.0 - num / den)
             total = total + self.feature_weight * gate(self.feature_start_step) * l_feat
             logs[f"{split}/loss_feature"] = l_feat

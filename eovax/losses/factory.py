@@ -204,7 +204,12 @@ def _build_dofa_features(dofa_cfg: dict, vae_cfg: VAEConfig, seed: int):
         return None
     vit, variables, _ = built
 
+    # v3's forward_features returns a single [B,N,D] tensor (DINOv3
+    # semantics); the consistency loss iterates per-tap features, so use
+    # the multi-tap forward_lpips when the model has one (v3 only).
+    method = getattr(vit, "forward_lpips", vit.forward_features)
+
     def features(x, wvs):
-        return vit.apply(variables, x, wvs, method=vit.forward_features)
+        return vit.apply(variables, x, wvs, method=method)
 
     return features

@@ -296,8 +296,27 @@ class EOGenerativeLoss:
         d_weight = jnp.asarray(1.0)
         if kernel_closure is not None:
             recon_fn, kernel = kernel_closure
+
+            def rec_closure(k):
+                # The reference's d_weight differentiates the FULL rec
+                # loss — L1 + FFL + weighted LPIPS (loss_functions.py:
+                # 100-125) — not L1 alone; LPIPS typically dominates the
+                # gradient norm, so omitting it skews the GAN balance.
+                r = recon_fn(k)
+                loss = jnp.mean(jnp.abs(r - inputs))
+                if self.focal_loss_weight > 0.0:
+                    loss = loss + focal_frequency_loss(
+                        r, inputs, loss_weight=self.focal_loss_weight,
+                        alpha=self.focal_loss_alpha,
+                    )
+                if self.perceptual_weight > 0.0 and self.lpips_apply is not None:
+                    loss = loss + self.perceptual_weight * self.lpips_apply(
+                        inputs, r, wvs
+                    )
+                return loss
+
             d_weight = adaptive_weight(
-                lambda k: jnp.mean(jnp.abs(recon_fn(k) - inputs)),
+                rec_closure,
                 lambda k: vanilla_g_loss(
                     self.disc_apply(disc_vars, robust_normalize(recon_fn(k)), wvs)
                 ),

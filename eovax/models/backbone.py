@@ -399,12 +399,18 @@ class EOVAECore(nn.Module):
 
     def _apply_scale(self, z: jax.Array, scale) -> jax.Array:
         """Bilinear latent rescale snapped to patch multiples
-        (new_autoencoder.py:520-531; align_corners=False ≡ half-pixel)."""
+        (new_autoencoder.py:520-531; align_corners=False ≡ half-pixel).
+        antialias=False: torch F.interpolate does NOT antialias by
+        default, and every EQ-VAE scale bin is a downscale — exactly
+        where jax's default antialiased triangle kernel would widen the
+        sampling neighborhood and diverge from the reference."""
         b, h, w, c = z.shape
         sh, sw = scale if isinstance(scale, (tuple, list)) else (scale, scale)
         new_h = round(h * sh / self.ps[0]) * self.ps[0]
         new_w = round(w * sw / self.ps[1]) * self.ps[1]
-        return jax.image.resize(z, (b, new_h, new_w, c), method="bilinear")
+        return jax.image.resize(
+            z, (b, new_h, new_w, c), method="bilinear", antialias=False
+        )
 
     def generate_output_kernel(self, wvs: jax.Array):
         return self.decoder.generate_output_kernel(wvs)

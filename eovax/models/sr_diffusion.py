@@ -216,6 +216,19 @@ class CachedDDIMSampler:
         return jax.random.normal(rng, shape, jnp.float32) * s1
 
     def __call__(self, params, x1: jax.Array, cond=None) -> jax.Array:
+        if not hasattr(self.denoiser, "postprocess"):
+            # KarrasDenoiser applies EDM c_in preconditioning to the UNet
+            # INPUT and combines c_skip/c_out on the output — the cached
+            # encoder-propagation scheme feeds raw x_t and only
+            # post-combines, so it is only valid for x0-prediction
+            # denoisers (SimpleDenoiser). Fail clearly instead of an
+            # AttributeError at trace time.
+            raise TypeError(
+                f"CachedDDIMSampler requires an x0-prediction denoiser "
+                f"exposing .postprocess (e.g. SimpleDenoiser); got "
+                f"{type(self.denoiser).__name__}. Use the exact "
+                f"DDIMSampler for preconditioned (Karras) denoisers."
+            )
         sched = self.denoiser.schedule
         ts = jnp.linspace(1.0, 0.0, self.steps + 1)
         unet = self.unet
@@ -235,9 +248,17 @@ class CachedDDIMSampler:
                 {"params": params}, h, skips, t, method=unet.decode_path
             )
 
-        # Prime the cache with step 0 (always a key step).
+        # Scan-carry cache placeholder: step 0 is always a key step that
+        # rebuilds the cache before any cached_step reads it, so only the
+        # SHAPE matters — eval_shape + zeros instead of a full UNet eval
+        # whose output would be discarded (one of steps+1 evals, ~2%).
         t0 = jnp.full((x1.shape[0],), ts[0], jnp.float32)
-        _, cache0 = full_eval(x1.astype(jnp.float32), t0)
+        cache_shape = jax.eval_shape(
+            lambda x, t: full_eval(x, t)[1], x1.astype(jnp.float32), t0
+        )
+        cache0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), cache_shape
+        )
 
         def body(carry, i):
             x_t, cache = carry

@@ -22,6 +22,16 @@ from eovax.nn.dynamic_conv import apply_dynamic_kernel, sincos_wavelength_embed
 _XAVIER = nn.initializers.xavier_uniform()
 
 
+def _torch_kaiming_uniform_basis(key, shape, dtype):
+    """torch init.kaiming_uniform_(a=sqrt(5)) on a [num_bases, 1, K, K]
+    bank (ref dynamic_basis.py:82-85): fan_in = 1*K*K, so
+    bound = sqrt(1/3)*sqrt(3/fan_in) = 1/K. Flax variance_scaling would
+    treat the leading num_bases dim as receptive field (fan_in = K*num_bases),
+    shrinking the init ~sqrt(num_bases/K)x vs the reference."""
+    bound = 1.0 / shape[-1]
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 class ScalableHyperNet(nn.Module):
     """Deep MLP hypernetwork with a low-rank expansion head
     (dynamic_basis.py:28-58): xavier weights, zero biases, expansion head
@@ -77,12 +87,9 @@ class DynamicInputLayer(_SharedBasisBase):
 
     def setup(self):
         k = self.kernel_size
-        # kaiming_uniform(a=√5) ≈ uniform(±1/√fan_in); fan_in = K*K.
         self.basis_bank = self.param(
-            "basis_bank",
-            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
-            (self.num_bases, k, k),
-            jnp.float32,
+            "basis_bank", _torch_kaiming_uniform_basis,
+            (self.num_bases, k, k), jnp.float32,
         )
         self.hypernet = ScalableHyperNet(
             in_dim=self.wv_dim, rank_dim=self.rank_dim,
@@ -122,10 +129,8 @@ class DynamicOutputLayer(_SharedBasisBase):
     def setup(self):
         k = self.kernel_size
         self.basis_bank = self.param(
-            "basis_bank",
-            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
-            (self.num_bases, k, k),
-            jnp.float32,
+            "basis_bank", _torch_kaiming_uniform_basis,
+            (self.num_bases, k, k), jnp.float32,
         )
         self.hypernet = ScalableHyperNet(
             in_dim=self.wv_dim, rank_dim=self.rank_dim,

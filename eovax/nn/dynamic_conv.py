@@ -314,6 +314,15 @@ class _DynamicConvBase(nn.Module):
 
     def _raw_weight_bias(self, wvs: jax.Array) -> tuple[jax.Array, jax.Array]:
         waves = self._wave_features(wvs)
+        if isinstance(self.weight_generator, FactorizedWeightGenerator):
+            # The factorized generator carries the reference's 0.1
+            # transformer dropout (ref dynamic_conv.py:210), active in
+            # torch train mode. Flax convention: dropout engages exactly
+            # when the caller supplies a "dropout" RNG (train steps do;
+            # inference apply()s don't) — no train-flag plumbing needed.
+            return self.weight_generator(
+                waves, deterministic=not self.has_rng("dropout")
+            )
         return self.weight_generator(waves)
 
     def _conv(self, x: jax.Array, kernel_hwio: jax.Array, bias: jax.Array) -> jax.Array:

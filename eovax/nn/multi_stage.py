@@ -103,7 +103,9 @@ class WavelengthAdaptiveWeightGenerator(nn.Module):
             d_model=self.wv_planes, nhead=self.num_heads,
             num_layers=self.num_layers, dim_feedforward=self.wv_planes * 4,
             norm_first=True, dropout_rate=0.1, name="transformer",
-        )(seq)
+            # dropout engages iff the caller supplies a "dropout" RNG
+            # (train steps); matches the torch train/eval mode switch.
+        )(seq, deterministic=not self.has_rng("dropout"))
         feats = out[self.wt_num :]
 
         spatial = nn.Dense(self.wv_planes, name="spatial_0", **d)(feats)

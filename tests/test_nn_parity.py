@@ -253,3 +253,59 @@ def test_latent_batchnorm_matches_torch():
     np.testing.assert_allclose(
         np.transpose(np.asarray(out), (0, 3, 1, 2)), out_ref, rtol=1e-4, atol=1e-4
     )
+
+
+def test_eqvae_scale_resize_matches_torch_interpolate():
+    """EQ-VAE's latent rescale must match F.interpolate(bilinear,
+    align_corners=False) — which does NOT antialias. All SCALE_BINS are
+    downscales, exactly where jax's default antialias diverges (round-3
+    review fix: antialias=False)."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    g = np.random.default_rng(3)
+    x = g.standard_normal((2, 8, 32, 32)).astype(np.float32)  # NCHW
+    for scale in (0.375, 0.5, 0.75):
+        new = int(round(32 * scale / 4) * 4)  # ps-snapped like _apply_scale
+        ref = F.interpolate(
+            torch.from_numpy(x), size=(new, new), mode="bilinear",
+            align_corners=False,
+        ).numpy()
+        got = jax.image.resize(
+            jnp.asarray(x.transpose(0, 2, 3, 1)), (2, new, new, 8),
+            method="bilinear", antialias=False,
+        )
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-5)
+
+
+def test_factorized_generator_dropout_engages_with_rng():
+    """The factorized weight generator carries the reference's 0.1
+    transformer dropout (ref dynamic_conv.py:210): active exactly when a
+    'dropout' RNG is supplied (train steps), deterministic otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from eovax.nn.dynamic_conv import DynamicConv
+
+    conv = DynamicConv(
+        embed_dim=16, kernel_size=3, wv_planes=32, generator_type="factorized"
+    )
+    wvs = jnp.asarray([0.665, 0.56, 0.49], jnp.float32)
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    variables = conv.init(jax.random.PRNGKey(0), x, wvs)
+
+    def weights(rngs=None):
+        return conv.apply(
+            variables, wvs,
+            method=lambda c, w: c.get_distillation_weight(w),
+            **({"rngs": rngs} if rngs else {}),
+        )[0]
+
+    w_det1, w_det2 = weights(), weights()
+    np.testing.assert_array_equal(np.asarray(w_det1), np.asarray(w_det2))
+    w_a = weights({"dropout": jax.random.PRNGKey(1)})
+    w_b = weights({"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(w_a), np.asarray(w_b))
+    assert not np.allclose(np.asarray(w_a), np.asarray(w_det1))
