@@ -97,6 +97,12 @@ def _build_patch_loss(loss_cfg, vae_cfg, policy):
     if disc_cfg:
         raise ValueError(f"Unknown DynamicPatchGAN kwargs: {sorted(disc_cfg)}")
 
+    # Known train-mode difference: disc.apply runs without a "dropout"
+    # RNG, so a factorized/multi-stage disc STEM's 0.1 generator dropout
+    # (active in the reference's Lightning train mode) stays off here.
+    # Unreachable with shipped configs (the only factorized config uses
+    # EOConsistencyLoss, no GAN); the generator/VAE path has full dropout
+    # parity via the train steps' rngs={"dropout": ...}.
     loss = EOPatchLoss(
         disc_apply=lambda dv, x, wv: disc.apply(dv, x, wv),
         **{k: loss_cfg.pop(k) for k in _PATCH_KEYS if k in loss_cfg},

@@ -69,7 +69,14 @@ def load_teacher_stems(path: str) -> dict[str, np.ndarray]:
 
 def distillation_loss(core: EOVAECore, params, teacher: dict, cfg: DistillConfig):
     """MSE between generated stems (torch layout) and teacher stems
-    (weight_distill_train.py:190-264)."""
+    (weight_distill_train.py:190-264).
+
+    Deterministic by design (no "dropout" RNG): the reference's shipped
+    distill config uses the transformer generator (dropout=False), so
+    parity is exact there. Distilling a factorized-stem config would run
+    through train-mode 0.1 dropout in the reference but deterministically
+    here — a documented difference (arguably an improvement: noiseless
+    targets) rather than silent."""
     wvs = jnp.asarray(cfg.rgb_wavelengths, jnp.float32)
     variables = {"params": params}
     logs: dict[str, Any] = {}
