@@ -35,12 +35,13 @@ DATA_AXIS = "data"
 
 #: env vars whose presence marks a multi-host launch (jax.distributed
 #: auto-detects the rest): explicit coordinator, or a Cloud TPU pod task.
+#: TPU_WORKER_HOSTNAMES is handled separately — single-host TPU VMs set
+#: it too (e.g. "localhost"); only a multi-entry list means a pod.
 _DIST_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
     "CLOUD_TPU_TASK_ID",
     "MEGASCALE_COORDINATOR_ADDRESS",
-    "TPU_WORKER_HOSTNAMES",
 )
 
 
@@ -60,7 +61,12 @@ def init_distributed(**kwargs) -> None:
 
     if jax.distributed.is_initialized():
         return
-    if not kwargs and not any(v in os.environ for v in _DIST_ENV_VARS):
+    multi_worker = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if (
+        not kwargs
+        and not multi_worker
+        and not any(v in os.environ for v in _DIST_ENV_VARS)
+    ):
         return  # single-host run — nothing to initialize
     jax.distributed.initialize(**kwargs)
 

@@ -178,6 +178,15 @@ def test_init_distributed_noop_without_env_raises_with(monkeypatch):
         monkeypatch.delenv(var, raising=False)
     init_distributed()  # no env, backend already up → silently no-op
     assert jax.process_count() == 1
+    # single-host TPU VMs set TPU_WORKER_HOSTNAMES with ONE entry (the
+    # tunnel host here sets "localhost") — still a no-op; only a
+    # multi-entry list marks a pod.
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    init_distributed()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    with pytest.raises(RuntimeError):
+        init_distributed()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
 
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
     # The test process's backend is already initialized, so initialize()
