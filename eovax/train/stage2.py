@@ -119,6 +119,7 @@ def make_train_step(
 
     def train_step(state, image, wvs, rng, *, scale=None, angle=None):
         mask = _freeze_mask(state.params, freeze_body)
+        rng, drop_key = jax.random.split(rng)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -135,6 +136,10 @@ def make_train_step(
                 noise_tau=cfg.noise_tau,
                 method=EOVAECore.forward,
                 mutable=["batch_stats"],
+                # "dropout" RNG = torch train mode for the stem weight
+                # generators that carry dropout (factorized/multi-stage);
+                # eval/inference applies omit it → deterministic.
+                rngs={"dropout": drop_key},
             )
             target = _eqvae_target(image, recon, scale, angle)
             loss, logs = loss_obj(
@@ -206,6 +211,7 @@ def make_adversarial_steps(
 
     def gen_step(state, image, wvs, rng, *, scale=None, angle=None):
         mask = _freeze_mask(state.params, freeze_body)
+        rng, drop_key = jax.random.split(rng)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -222,6 +228,7 @@ def make_adversarial_steps(
                 noise_tau=cfg.noise_tau,
                 method=EOVAECore.forward_gan,
                 mutable=["batch_stats"],
+                rngs={"dropout": drop_key},  # torch train-mode dropout
             )
             target = _eqvae_target(image, recon, scale, angle)
             h_sg = jax.lax.stop_gradient(h_pre)
