@@ -104,9 +104,9 @@ def main() -> None:
     # ---- full decode (post_quant → conv_in → mid → 4 up levels → stem) --
     stem = StemConfig(num_layers=4, wv_planes=256)
     dec = Decoder(DecoderConfig(out_ch=12, stem=stem), policy=policy)
-    wvs = jnp.asarray(
-        __import__("eovax.data.wavelengths", fromlist=["x"]).wavelengths_for("S2L2A")
-    )
+    from eovax.data.wavelengths import wavelengths_for
+
+    wvs = jnp.asarray(wavelengths_for("S2L2A"))
     z = rand((B, 32, 32, 32))
     dvars = host_vars(dec, jnp.zeros((1, 32, 32, 32)), wvs)
 
@@ -116,8 +116,8 @@ def main() -> None:
     def back_to_latent(out):  # [B,256,256,12] → [B,32,32,32]
         pooled = out[:, ::8, ::8, :]  # [B,32,32,12]
         return jnp.concatenate(
-            [pooled, pooled, jnp.tile(pooled[..., :8], (1, 1, 1, 1))], axis=-1
-        )[..., :32].astype(jnp.bfloat16)
+            [pooled, pooled, pooled[..., :8]], axis=-1  # 12+12+8 = 32 ch
+        ).astype(jnp.bfloat16)
 
     results["decode_total"] = chained_ms(full_decode, z, adapter=back_to_latent)
     print(f"{'decode_total':45} {results['decode_total']:8.3f} ms", flush=True)

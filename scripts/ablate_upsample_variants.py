@@ -5,8 +5,11 @@ upsamples run at 43-61% MFU — the decode path's weakest ops. This
 benches alternative formulations of conv3x3(nearest_up2(x)) at the two
 hot shapes, slope-method timing:
 
-  A. current: four per-phase 2×2 convs (phase-specific asymmetric pads)
-     + stack/transpose interleave
+  A. current: whatever nn/blocks.py's subpixel_upsample_conv does today.
+     HISTORY: when this shootout first ran (round 3), "current" was four
+     per-phase 2×2 convs + stack/transpose interleave; variant B won and
+     was promoted into blocks.py, so on re-runs A and B now measure the
+     SAME input-dilated formulation (expect ~equal times, rel-err ~0).
   B. lax.conv_transpose stride 2 with the equivalent 4×4 kernel (XLA's
      input-dilation path — the backward of the Downsample conv)
   C. two 2×3-kernel convs (row-phase pair per conv, both column phases
@@ -148,12 +151,15 @@ def main():
                 preferred_element_type=y.dtype,
             ) + bias.astype(y.dtype)
 
-        # correctness vs current first
+        # correctness vs current first — ASSERTED, so a wrong kernel
+        # construction cannot silently win the timing table (bf16
+        # accumulation order differs per formulation; 2% covers it).
         ref = np.asarray(current(x), np.float32)
         for name, fn in (("conv_t", conv_t), ("hybrid", hybrid), ("naive", naive)):
             got = np.asarray(fn(x), np.float32)
             err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
             print(f"  {name} rel-err vs current: {err:.2e}", flush=True)
+            assert err < 2e-2, f"{name} formulation diverges (rel-err {err:.2e})"
 
         for name, fn in (("current", current), ("conv_t", conv_t),
                          ("hybrid", hybrid), ("naive", naive)):

@@ -71,11 +71,14 @@ def main() -> None:
             self.config = VAEConfig(encoder=enc, decoder=dec)
             self.policy = policy
 
+    import atexit
+    import shutil
     import tempfile
 
     from eovax.serving import ServedModel, export_model
 
     out = tempfile.mkdtemp(prefix="eovax_bench_artifact_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)  # ~0.5 GB/run
     t0 = time.perf_counter()
     export_model(_Shim(), out, modalities=("S2L2A",), resolution=256)
     print(f"# export: {time.perf_counter() - t0:.1f}s -> {out}")
@@ -101,9 +104,14 @@ def main() -> None:
         return time.perf_counter() - t0
 
     lo, hi = args.iters
+    if hi <= lo:
+        raise SystemExit(f"--iters must be increasing, got {lo} {hi}")
     run(lo), run(hi)  # compile both lengths
-    run(hi)           # warm (deferred autotuning)
-    t_lo, t_hi = run(lo), run(hi)
+    run(lo), run(hi)  # warm both (deferred autotuning / first-pass cost)
+    # min-of-2 per length: a single tunnel hiccup in one sample would
+    # skew the slope (same protocol as scripts/ablate_decode.py).
+    t_lo = min(run(lo), run(lo))
+    t_hi = min(run(hi), run(hi))
     per_iter = (t_hi - t_lo) / (hi - lo)
     tag = "int8" if args.int8 else "bf16"
     print(f"artifact_chained_{tag}: {B / per_iter:.1f} imgs/s "
@@ -120,7 +128,9 @@ def main() -> None:
         return time.perf_counter() - t0
 
     run_dispatch(3)  # compile (served.reconstruct jit has its own cache)
-    t_lo, t_hi = run_dispatch(lo), run_dispatch(hi)
+    run_dispatch(lo)  # warm
+    t_lo = min(run_dispatch(lo), run_dispatch(lo))
+    t_hi = min(run_dispatch(hi), run_dispatch(hi))
     per_iter = (t_hi - t_lo) / (hi - lo)
     print(f"artifact_per_dispatch_{tag}: {B / per_iter:.1f} imgs/s "
           f"({per_iter * 1000:.1f} ms/dispatch @B={B})")

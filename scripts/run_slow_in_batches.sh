@@ -9,12 +9,22 @@
 set -u
 cd "$(dirname "$0")/.."
 
-FILES=$(python -m pytest tests/ -m slow --collect-only -q 2>/dev/null \
-        | grep -o '^tests/[a-z_0-9]*\.py' | sort -u)
+# Collection must be CHECKED, not just parsed: a broken slow-test file
+# errors during collection while the others still list, so grepping the
+# output alone would silently drop the broken file and the tier would
+# read green. pytest exit codes: 0 = collected, 5 = nothing collected,
+# anything else (2 = collection/usage error) is a failure.
+COLLECT_OUT=$(python -m pytest tests/ -m slow --collect-only -q 2>&1)
+rc=$?
+if [ $rc -ne 0 ] && [ $rc -ne 5 ]; then
+  echo "ERROR: slow-test collection failed (rc=$rc) — output:" >&2
+  printf '%s\n' "$COLLECT_OUT" >&2
+  exit 2
+fi
+FILES=$(printf '%s\n' "$COLLECT_OUT" | grep -o '^tests/[a-z_0-9]*\.py' | sort -u)
 if [ -z "$FILES" ]; then
-  # Collection failure (import/syntax error) must not read as a green tier.
   echo "ERROR: slow-test collection produced no files — collection output:" >&2
-  python -m pytest tests/ -m slow --collect-only -q >&2
+  printf '%s\n' "$COLLECT_OUT" >&2
   exit 2
 fi
 

@@ -10,10 +10,19 @@ late — but the backend itself is not yet initialized, and
 """
 
 import os
+import re
 
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+_m = re.search(r"--?xla_force_host_platform_device_count=(\d+)", flags)
+if _m is None:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+elif _m.group(1) != "8":
+    # A pre-existing different count would silently give the session the
+    # wrong mesh width and fail every sharding test confusingly — the
+    # suite is written for 8, so enforce it.
+    os.environ["XLA_FLAGS"] = flags.replace(
+        _m.group(0), _m.group(0).split("=")[0] + "=8"
+    )
 
 import jax  # noqa: E402
 
