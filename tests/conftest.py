@@ -28,10 +28,3 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
-
-
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1234)

@@ -180,7 +180,7 @@ def test_dofav2_converter_maps_timm_keys():
         sd[p + "mlp.fc1.weight"] = g.standard_normal((mlp, d)).astype(np.float32)
         sd[p + "mlp.fc1.bias"] = g.standard_normal(mlp).astype(np.float32)
         sd[p + "mlp.fc2.weight"] = g.standard_normal((d, mlp)).astype(np.float32)
-        sd[p + "mlp.fc2.bias"] = g.standard_normal(mlp // mlp * d).astype(np.float32)
+        sd[p + "mlp.fc2.bias"] = g.standard_normal(d).astype(np.float32)
 
     stripped = {k[len("model."):]: v for k, v in sd.items()}
     updates, report = convert_state_dict(stripped, template)

@@ -91,7 +91,7 @@ def test_export_state_dict_roundtrip_into_torch():
 
     enc_t = model_t.Encoder(**ENC_KW).eval()
     dec_t = model_t.Decoder(**DEC_KW).eval()
-    missing, unexpected = enc_t.load_state_dict(enc_sd, strict=True), None
+    enc_t.load_state_dict(enc_sd, strict=True)
     dec_t.load_state_dict(dec_sd, strict=True)
 
     g = np.random.default_rng(12)
@@ -99,8 +99,19 @@ def test_export_state_dict_roundtrip_into_torch():
     with torch.no_grad():
         moments_ref = enc_t(torch.from_numpy(x), torch.from_numpy(WVS)).numpy()
     post = model.encode(x, WVS)
-    moments_ours = np.concatenate(
-        [np.asarray(post.mean), np.asarray(post.logvar)], axis=1
+    # BOTH moment halves: a corrupted logvar export would be invisible to
+    # a mean-only check (logvar is clamped identically on both sides).
+    np.testing.assert_allclose(
+        np.asarray(post.mean), moments_ref[:, :8], rtol=2e-3, atol=2e-4
     )
-    mean_ref = moments_ref[:, :8]
-    np.testing.assert_allclose(np.asarray(post.mean), mean_ref, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(post.logvar), moments_ref[:, 8:], rtol=2e-3, atol=2e-4
+    )
+    # And the DECODER actually runs with the exported weights: its output
+    # must match eovax's decode on the same latent (strict key load alone
+    # does not catch corrupted VALUES).
+    z = np.asarray(post.mean, np.float32)
+    with torch.no_grad():
+        recon_ref = dec_t(torch.from_numpy(z), torch.from_numpy(WVS)).numpy()
+    recon_ours = np.asarray(model.decode_raw(z, WVS))
+    np.testing.assert_allclose(recon_ours, recon_ref, rtol=2e-3, atol=5e-4)

@@ -27,7 +27,6 @@ def _from_torch(module, template):
     sd = torch_state_dict_numpy(module)
     updates, report = convert_state_dict(sd, template)
     assert not report.unexpected, f"unconverted keys: {report.unexpected}"
-    merged = jax.tree_util.tree_map(lambda x: x, template)
     from eovax.utils.torch_convert import _merge_arrays
 
     merged = {k: dict(v) for k, v in template.items()}
@@ -36,7 +35,7 @@ def _from_torch(module, template):
 
 
 @pytest.fixture(scope="module")
-def x32(rng=None):
+def x32():
     g = np.random.default_rng(0)
     return g.standard_normal((2, 64, 16, 16), dtype=np.float32)
 

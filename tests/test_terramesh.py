@@ -98,7 +98,12 @@ def test_expand_braces_and_split():
     c = split_shards(shards, process_index=1, process_count=2, worker_id=0, num_workers=2)
     d = split_shards(shards, process_index=1, process_count=2, worker_id=1, num_workers=2)
     assert sorted(a + b + c + d) == sorted(shards)
-    assert not (set(a) & set(b) | set(a) & set(c) | set(a) & set(d))
+    # pairwise disjoint (not just a-vs-rest): overlaps between two
+    # worker/process splits are exactly the double-read bug this guards.
+    import itertools
+
+    for u, v in itertools.combinations((a, b, c, d), 2):
+        assert not set(u) & set(v)
 
 
 @pytest.fixture(scope="module")

@@ -68,7 +68,7 @@ def test_train_loss_decreases(trainer_and_state):
     assert not np.allclose(bn["mean"], 0.0)
 
 
-def test_fit_multimodal_and_validate(trainer_and_state, tmp_path):
+def test_fit_multimodal_and_validate(tmp_path):
     cfg = tiny_cfg()
     model = EOFluxVAE(cfg, seed=1)
     loss = EOConsistencyLoss(pixel_weight=1.0, rec_loss_type="l1", msssim_weight=0.0)
@@ -101,7 +101,7 @@ def test_fit_multimodal_and_validate(trainer_and_state, tmp_path):
     assert int(restored.step) == 6
 
 
-def test_eqvae_modes_compile(trainer_and_state):
+def test_eqvae_modes_compile():
     """EQ-VAE scale/rot branches produce shape-consistent steps."""
     cfg = tiny_cfg(p_prior=1.0)
     model = EOFluxVAE(cfg, seed=2)
