@@ -620,3 +620,58 @@ def test_serve_cli_starts_serves_and_cleans_up(artifact, capsys, monkeypatch):
     # listening socket closed and the SIGTERM handler restored
     assert started["httpd"].socket.fileno() == -1
     assert signal.getsignal(signal.SIGTERM) is prev_term
+
+
+@pytest.mark.slow
+def test_http_server_concurrent_requests(artifact):
+    """The daemon serializes device work under its lock but must serve
+    overlapping requests correctly: N threads x M posts all succeed and
+    /metrics counts exactly N*M."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from eovax.serving import ServedModel
+    from eovax.serving.server import make_server, warmup
+
+    _, out, _ = artifact
+    served = ServedModel.load(out)
+    warmup(served, batch_sizes=(1,))
+    httpd = make_server(served, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        x = np.random.default_rng(5).standard_normal((1, 3, 32, 32)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        body = buf.getvalue()
+        ref = np.asarray(served.reconstruct(x, modality="S2RGB"))
+        errors = []
+
+        def client(n):
+            try:
+                for _ in range(n):
+                    req = urllib.request.Request(
+                        f"http://127.0.0.1:{port}/v1/reconstruct?modality=S2RGB",
+                        data=body)
+                    with urllib.request.urlopen(req, timeout=120) as r:
+                        y = np.load(io.BytesIO(r.read()), allow_pickle=False)
+                    np.testing.assert_allclose(y, ref, atol=1e-6)
+            except Exception as e:  # propagate to the main thread
+                errors.append(e)
+
+        threads = [threading.Thread(target=client, args=(3,)) for _ in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errors, errors
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+            m = json.load(r)["reconstruct"]
+        assert m["count"] == 12 and m["errors"] == 0
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
