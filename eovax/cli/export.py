@@ -56,7 +56,12 @@ def main(argv=None) -> None:
         help="trained SR denoiser msgpack (sr-best.msgpack) for --sr-config",
     )
     parser.add_argument(
-        "--sr-steps", type=int, default=50, help="DDIM steps for --sr-config",
+        "--sr-steps", type=int, default=50, help="sampling steps for --sr-config",
+    )
+    parser.add_argument(
+        "--sr-sampler", default="ddim",
+        help="'ddim' (reference parity) or 'dpm++2m' (second-order "
+        "multistep: comparable error at ~half the steps)",
     )
     args = parser.parse_args(argv)
 
@@ -93,6 +98,7 @@ def main(argv=None) -> None:
         manifest = export_sr_pipeline(
             model, denoiser, sr_params, args.output,
             resolution=args.resolution, steps=args.sr_steps,
+            sampler=args.sr_sampler,
             params_dtype=jnp.bfloat16 if args.compact_weights else None,
             denoiser_policy=model.policy,
         )

@@ -191,6 +191,88 @@ class DDIMSampler:
 
 
 @dataclasses.dataclass(frozen=True)
+class DPMSolverPlusPlus2M:
+    """DPM-Solver++(2M): deterministic second-order multistep sampler in
+    the data-prediction (x0) parameterization (Lu et al. 2022, §4.2 /
+    Algorithm 2 — "2M" = 2nd-order multistep, one denoiser eval per step).
+
+    Per uniform grid 1 = t_0 > … > t_N = 0, with λ_t = log(α_t / σ_t):
+        h_i = λ_{t_i} − λ_{t_{i−1}},  r_i = h_{i−1} / h_i
+        D_i = (1 + 1/(2 r_i)) · x0_i − 1/(2 r_i) · x0_{i−1}   (D_1 = x0_1)
+        x_{t_i} = (σ_{t_i}/σ_{t_{i−1}}) · x_{t_{i−1}} − α_{t_i}·expm1(−h_i)·D_i
+
+    The second-order correction extrapolates the denoiser trajectory, so
+    ~½–⅓ of the DDIM step count reaches comparable discretization error —
+    a capability the reference (azula DDIM only) does not ship. Endpoint
+    singularities (α(1)=0, σ(0)=0 ⇒ λ = ∓∞) are handled by clamping inside
+    the log: the resulting |h| ≈ 90 makes expm1(−h) = −1 exactly, which is
+    the analytic limit (first step ≡ DDIM step; last step returns D_N).
+    No reference counterpart; same lax.scan single-program structure as
+    :class:`DDIMSampler`.
+    """
+
+    denoiser: Any
+    steps: int = 20
+
+    def init(self, rng, shape) -> jax.Array:
+        s1 = self.denoiser.schedule.sigma(jnp.asarray(1.0, jnp.float32))
+        return jax.random.normal(rng, shape, jnp.float32) * s1
+
+    def __call__(self, params, x1: jax.Array, cond=None) -> jax.Array:
+        sched = self.denoiser.schedule
+        ts = jnp.linspace(1.0, 0.0, self.steps + 1)
+        tiny = 1e-20
+        lam = jnp.log(jnp.maximum(sched.alpha(ts), tiny)) - jnp.log(
+            jnp.maximum(sched.sigma(ts), tiny)
+        )
+
+        def body(carry, i):
+            x_t, x0_prev = carry
+            t = jnp.full((x_t.shape[0],), ts[i], jnp.float32)
+            x0 = self.denoiser.denoise(params, x_t, t, cond).astype(jnp.float32)
+            h = lam[i + 1] - lam[i]
+            h_prev = lam[i] - lam[jnp.maximum(i - 1, 0)]
+            # r → second-order weight; first step (h_prev = 0) and the
+            # post-endpoint step (h_prev = ±inf-clamped huge) both reduce
+            # toward first order, which is the correct limit.
+            r = h_prev / h
+            c = jnp.where(i == 0, 0.0, 1.0 / (2.0 * jnp.maximum(r, 1e-8)))
+            d = (1.0 + c) * x0 - c * x0_prev
+            # scalar grid values broadcast over [B,H,W,C] directly
+            s_t = jnp.maximum(sched.sigma(ts[i]), 1e-8)
+            s_s = sched.sigma(ts[i + 1])
+            a_s = sched.alpha(ts[i + 1])
+            x_next = (s_s / s_t) * x_t - a_s * jnp.expm1(-h) * d
+            return (x_next, x0), None
+
+        (x0_final, _), _ = jax.lax.scan(
+            body, (x1.astype(jnp.float32), jnp.zeros_like(x1, jnp.float32)),
+            jnp.arange(self.steps),
+        )
+        return x0_final
+
+
+#: accepted spellings → sampler class (config `_target_` names included).
+_SAMPLERS = {
+    "ddim": lambda den, steps: DDIMSampler(den, steps=steps),
+    "ddimsampler": lambda den, steps: DDIMSampler(den, steps=steps),
+    "dpm++2m": lambda den, steps: DPMSolverPlusPlus2M(den, steps=steps),
+    "dpmsolverplusplus2m": lambda den, steps: DPMSolverPlusPlus2M(den, steps=steps),
+}
+
+
+def make_sampler(name: str, denoiser, *, steps: int):
+    """Sampler factory by name ("ddim" | "dpm++2m", case-insensitive,
+    config ``_target_`` spellings accepted)."""
+    try:
+        return _SAMPLERS[name.lower()](denoiser, steps)
+    except KeyError:
+        raise ValueError(
+            f"Unknown sampler {name!r}; choose from {sorted(_SAMPLERS)}"
+        ) from None
+
+
+@dataclasses.dataclass(frozen=True)
 class CachedDDIMSampler:
     """DDIM with UNet encoder-feature caching across timesteps.
 

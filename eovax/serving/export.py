@@ -206,6 +206,7 @@ def export_sr_pipeline(
     *,
     resolution: int = 128,
     steps: int = 50,
+    sampler: str = "ddim",
     wvs=None,
     latent_stats: tuple | None = None,
     params_dtype=None,
@@ -242,7 +243,7 @@ def export_sr_pipeline(
     from jax import export as jexport
 
     from eovax.data.sen2naip import SEN2NAIP_WVS
-    from eovax.models.sr_diffusion import DDIMSampler
+    from eovax.models.sr_diffusion import make_sampler
     from eovax.utils.checkpoint import save_variables
 
     os.makedirs(out_dir, exist_ok=True)
@@ -299,7 +300,7 @@ def export_sr_pipeline(
         lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), variables
     )
 
-    sampler = DDIMSampler(denoiser, steps=steps)
+    sampler_obj = make_sampler(sampler, denoiser, steps=steps)
     enc = getattr(type(core), "encode_spatial_normalized")
     dec = getattr(type(core), "decode_spatial_normalized")
 
@@ -310,8 +311,8 @@ def export_sr_pipeline(
         x = jnp.transpose(x_lr, (0, 2, 3, 1))  # NCHW → NHWC
         z_lr = core.apply(variables["vae"], x, wvs_arr, method=enc)
         cond = (z_lr - m) / s  # latent NHWC
-        x1 = sampler.init(jax.random.PRNGKey(seed), cond.shape)
-        z_hr = sampler(variables["sr"], x1, cond=cond) * s + m
+        x1 = sampler_obj.init(jax.random.PRNGKey(seed), cond.shape)
+        z_hr = sampler_obj(variables["sr"], x1, cond=cond) * s + m
         y = core.apply(variables["vae"], z_hr, wvs_arr, method=dec)
         return jnp.transpose(y, (0, 3, 1, 2))
 
@@ -330,6 +331,7 @@ def export_sr_pipeline(
         "resolution": resolution,
         "params": _PARAMS,
         "pipeline": "sr",
+        "sampler": sampler,
         "ddim_steps": steps,
         "wvs": [float(v) for v in np.asarray(wvs_arr)],
         "functions": {

@@ -675,3 +675,56 @@ def test_http_server_concurrent_requests(artifact):
     finally:
         httpd.shutdown()
         t.join(timeout=10)
+
+
+@pytest.mark.slow
+def test_export_sr_pipeline_dpmpp2m(tmp_path):
+    """sampler="dpm++2m" exports a second-order pipeline whose output
+    matches the in-repo DPM++(2M) composition on a fixed seed, and the
+    manifest records the sampler."""
+    import jax
+    import jax.numpy as jnp
+
+    from eovax.core.precision import FULL_PRECISION
+    from eovax.models.sr_diffusion import (
+        DPMSolverPlusPlus2M,
+        RectifiedSchedule,
+        SimpleDenoiser,
+    )
+    from eovax.models.unet import UNet
+    from eovax.serving import ServedModel, export_sr_pipeline
+
+    model = EOFluxVAE(CFG, seed=0)
+    z = model.config.encoder.z_channels
+    unet = UNet(in_channels=z, out_channels=z, cond_channels=z,
+                hid_channels=(32, 16), hid_blocks=(1, 1),
+                policy=FULL_PRECISION)
+    x0 = jnp.zeros((1, 4, 4, z))
+    sr_params = unet.init(jax.random.PRNGKey(1), x0, jnp.zeros((1,)), x0)["params"]
+
+    def apply_fn(params, x_t, t, cond=None):
+        return unet.apply({"params": params}, x_t, t, cond)
+
+    den = SimpleDenoiser(apply_fn=apply_fn, schedule=RectifiedSchedule())
+    wvs = [0.665, 0.56, 0.49]
+    out = tmp_path / "sr-artifact"
+    manifest = export_sr_pipeline(
+        model, den, sr_params, str(out), resolution=32, steps=4, wvs=wvs,
+        sampler="dpm++2m",
+    )
+    assert manifest["sampler"] == "dpm++2m"
+
+    g = np.random.default_rng(1)
+    x_lr = g.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    served = ServedModel.load(str(out))
+    y = np.asarray(served.super_resolve(x_lr, seed=3), np.float32)
+
+    wvs_arr = jnp.asarray(wvs, jnp.float32)
+    z_lr = model.encode_spatial_normalized(x_lr, wvs_arr)
+    cond = jnp.transpose(jnp.asarray(z_lr), (0, 2, 3, 1))
+    sampler = DPMSolverPlusPlus2M(den, steps=4)
+    x1 = sampler.init(jax.random.PRNGKey(3), cond.shape)
+    z_hr = sampler(sr_params, x1, cond=cond)
+    ref = np.asarray(model.decode_spatial_normalized(
+        jnp.transpose(z_hr, (0, 3, 1, 2)), wvs_arr), np.float32)
+    np.testing.assert_allclose(y, ref, atol=2e-4, rtol=2e-4)
