@@ -41,6 +41,10 @@ def main(argv=None) -> None:
     parser.add_argument("--resolution", type=int, default=128, help="LR input size")
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--sr-steps", type=int, default=50)
+    parser.add_argument(
+        "--sr-sampler", default="ddim",
+        help="'ddim' or 'dpm++2m' (second-order: ~half the steps)",
+    )
     parser.add_argument("--output", default=None)
     parser.add_argument("--config", default=None, help="optional model_config.yaml")
     parser.add_argument("--ckpt", default=None)
@@ -112,7 +116,12 @@ def main(argv=None) -> None:
     def apply_fn(params, x_t, t, cond=None):
         return unet.apply({"params": params}, x_t, t, cond)
 
-    sampler = DDIMSampler(SimpleDenoiser(apply_fn, RectifiedSchedule()), steps=args.sr_steps)
+    from eovax.models.sr_diffusion import make_sampler
+
+    sampler = make_sampler(
+        args.sr_sampler, SimpleDenoiser(apply_fn, RectifiedSchedule()),
+        steps=args.sr_steps,
+    )
 
     @jax.jit
     def sr_forward(params, x1, cond):
