@@ -219,6 +219,7 @@ def main(argv=None) -> None:
         val_every=limit_train,
         ckpt_dir=os.path.join(exp_dir, "checkpoints") if exp_dir else None,
         ckpt_every=limit_train if exp_dir else 0,
+        val_max_batches=trainer_cfg.get("limit_val_batches", 100),
         log_every=trainer_cfg.get("log_every_n_steps", 100),
         logger=logger,
         discriminator=discriminator,

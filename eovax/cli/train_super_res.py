@@ -109,16 +109,43 @@ def main(argv=None) -> None:
         image_logger = SuperResImageLogger(exp_dir)
 
     dm_cfg = raw["datamodule"]
-    train_ds = Sen2NaipCrossSensorLatent(
-        dm_cfg["root"], "train",
-        latent_scale_factor=dm_cfg.get("latent_scale_factor", 1.0),
-        normalize=dm_cfg.get("normalize", True),
-    )
-    val_ds = Sen2NaipCrossSensorLatent(
-        dm_cfg["root"], "val",
-        latent_scale_factor=dm_cfg.get("latent_scale_factor", 1.0),
-        normalize=dm_cfg.get("normalize", True),
-    )
+    # `_target_` selects the data space (reference pixel.yaml:50-51 vs
+    # eo_vae_latent.yaml): the latent datamodule consumes encode_latents
+    # npz output; the pixel baseline reads {aoi}/{lr,hr}.tif pairs via
+    # Sen2NaipCrossSensor + the z-score/bicubic collate.
+    dm_target = dm_cfg.get(
+        "_target_", "Sen2NaipLatentCrossSensorDataModule"
+    ).split(".")[-1]
+    if "Latent" in dm_target:
+        train_ds = Sen2NaipCrossSensorLatent(
+            dm_cfg["root"], "train",
+            latent_scale_factor=dm_cfg.get("latent_scale_factor", 1.0),
+            normalize=dm_cfg.get("normalize", True),
+        )
+        val_ds = Sen2NaipCrossSensorLatent(
+            dm_cfg["root"], "val",
+            latent_scale_factor=dm_cfg.get("latent_scale_factor", 1.0),
+            normalize=dm_cfg.get("normalize", True),
+        )
+    else:
+        from eovax.data.sen2naip import (
+            Sen2NaipCrossSensor,
+            sen2naip_collate,
+            sen2naip_domain_adapted_collate,
+        )
+
+        collate = (
+            sen2naip_domain_adapted_collate
+            if dm_cfg.get("domain_adapted") else sen2naip_collate
+        )
+        sizes = dict(
+            lr_size=dm_cfg.get("lr_size", 128),
+            hr_size=dm_cfg.get("hr_size", 512),
+        )
+        train_ds = Sen2NaipCrossSensor(
+            dm_cfg["root"], "train", collate=collate, **sizes)
+        val_ds = Sen2NaipCrossSensor(
+            dm_cfg["root"], "val", collate=collate, **sizes)
     bs = dm_cfg.get("batch_size", 16)
 
     sampler_cfg = raw["lightning_module"].get("sampler", {})
@@ -140,6 +167,7 @@ def main(argv=None) -> None:
         image_logger=image_logger,
         ckpt_dir=os.path.join(exp_dir, "checkpoints") if exp_dir else None,
         ckpt_every=trainer_cfg.get("ckpt_every", SR_STEPS_PER_EPOCH),
+        val_max_batches=trainer_cfg.get("limit_val_batches", 10),
         seed=args.seed,
     )
     state = trainer.fit(

@@ -108,7 +108,7 @@ class Sen2NaipCrossSensor:
     (sen2naip.py:89-220). Directory layout: {root}/{aoi}/{lr,hr}.tif."""
 
     def __init__(self, root: str, split: str = "train",
-                 lr_size: int = 128, hr_size: int = 512):
+                 lr_size: int = 128, hr_size: int = 512, collate=None):
         try:
             import rasterio  # noqa: F401
         except ImportError as exc:  # pragma: no cover
@@ -119,6 +119,7 @@ class Sen2NaipCrossSensor:
         self.root = root
         self.lr_size = lr_size
         self.hr_size = hr_size
+        self.collate = collate if collate is not None else sen2naip_collate
         aois = sorted(glob(os.path.join(root, "*")))
         import rasterio
 
@@ -147,6 +148,29 @@ class Sen2NaipCrossSensor:
         lr = resize_nhwc(lr, (self.lr_size, self.lr_size), "bilinear")[0]
         hr = resize_nhwc(hr, (self.hr_size, self.hr_size), "bilinear")[0]
         return {"image_lr": lr, "image_hr": hr, "aoi": os.path.basename(aoi)}
+
+    def batches(
+        self, batch_size: int, *, shuffle: bool = False, seed: int = 0,
+        drop_remainder: bool = True, repeat: bool = False,
+    ) -> Iterator[dict]:
+        """Collated normalized batches (same interface as the latent
+        dataset's ``batches`` so the SR CLI trains either space): the
+        collate z-scores and bicubic-upsamples LR to HR size, yielding
+        {image_lr, image_hr, wvs} pixel batches."""
+        rng = random.Random(seed)
+        while True:
+            order = list(range(len(self)))
+            if shuffle:
+                rng.shuffle(order)
+            for i in range(0, len(order), batch_size):
+                idxs = order[i : i + batch_size]
+                if len(idxs) < batch_size and drop_remainder:
+                    continue
+                out = self.collate([self[j] for j in idxs])
+                out["wvs"] = SEN2NAIP_WVS
+                yield out
+            if not repeat:
+                return
 
 
 def sen2naip_collate(samples: list[dict]) -> dict:

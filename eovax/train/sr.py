@@ -61,6 +61,8 @@ class DiffusionSuperRes:
     # from the latest on fit(), best-by-val_mse under ckpt_dir/best.
     ckpt_dir: str | None = None
     ckpt_every: int = 0
+    # Lightning limit_val_batches equivalent (config trainer section).
+    val_max_batches: int = 10
     monitor: str = "val_mse"
     seed: int = 0
 
@@ -191,7 +193,7 @@ class DiffusionSuperRes:
                 if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
                     self.save_checkpoint(state)
                 if val_every and val_iter_factory and (i + 1) % val_every == 0:
-                    self.validate(state, val_iter_factory())
+                    self.validate(state, val_iter_factory(), self.val_max_batches)
         if self.ckpt_dir:
             self.save_checkpoint(state)
             self._checkpointer.wait()  # flush pending async writes

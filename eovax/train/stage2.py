@@ -344,6 +344,8 @@ class Stage2Trainer:
     val_every: int = 0
     ckpt_dir: str | None = None
     ckpt_every: int = 0
+    # Lightning limit_val_batches equivalent (config trainer section).
+    val_max_batches: int = 100
     # Monitored-metric best checkpoint (reference ModelCheckpoint(
     # monitor='val/loss_rec', save_top_k=1), train.py:155-162). Saved to
     # ckpt_dir/best whenever validate() improves on the stored best.
@@ -542,7 +544,7 @@ class Stage2Trainer:
                 if self.ckpt_every and self.ckpt_dir and (i + 1) % self.ckpt_every == 0:
                     self.save_checkpoint(state)
                 if self.val_every and val_iter_factory and (i + 1) % self.val_every == 0:
-                    self.validate(state, val_iter_factory())
+                    self.validate(state, val_iter_factory(), self.val_max_batches)
         if self.ckpt_dir:
             self.save_checkpoint(state)
             self._checkpointer.wait()  # flush pending async writes

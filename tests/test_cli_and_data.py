@@ -431,3 +431,88 @@ def test_running_stats_single_sample_batch_stays_finite():
     assert np.isfinite(rs.var).all() and np.isfinite(rs.std).all()
     # accumulator still tracks the data (loose check vs the big batch)
     assert np.all(rs.count == 4 * 2 * 2 + 1)
+
+
+def test_pixel_dataset_batches_collate():
+    """Sen2NaipCrossSensor.batches composes the z-score/bicubic collate
+    into trainer-ready pixel batches (rasterio-free via synthetic tifs)."""
+    import numpy as np
+
+    from eovax.data import sen2naip as sn
+
+    class Synthetic(sn.Sen2NaipCrossSensor):
+        def __init__(self):  # skip rasterio / disk
+            self.lr_size, self.hr_size = 8, 32
+            self.collate = sn.sen2naip_collate
+            self._g = np.random.default_rng(0)
+
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, idx):
+            return {
+                "image_lr": self._g.standard_normal((8, 8, 4)).astype(np.float32),
+                "image_hr": self._g.standard_normal((32, 32, 4)).astype(np.float32),
+                "aoi": f"aoi{idx}",
+            }
+
+    ds = Synthetic()
+    batches = list(ds.batches(2, shuffle=True, seed=1))
+    assert len(batches) == 2  # 5 samples, drop_remainder
+    b = batches[0]
+    assert b["image_hr"].shape == (2, 32, 32, 4)
+    # LR is bicubic-upsampled to HR size by the collate
+    assert b["image_lr"].shape == (2, 32, 32, 4)
+    assert np.asarray(b["wvs"]).shape == (4,)
+    assert np.isfinite(b["image_lr"]).all() and np.isfinite(b["image_hr"]).all()
+
+
+@pytest.mark.slow
+def test_sr_cli_pixel_space(tmp_path, monkeypatch):
+    """The pixel-space reference config (KarrasDenoiser + VPSchedule,
+    4-channel images, datamodule _target_ without 'Latent') trains
+    through the SR CLI — previously it crashed into the latent dataset."""
+    import numpy as np
+    import yaml
+
+    from eovax.cli.train_super_res import main as sr_main
+    from eovax.data import sen2naip as sn
+
+    class Synthetic:
+        def __init__(self, root, split, collate=None, lr_size=8, hr_size=16):
+            self.split = split
+            self._g = np.random.default_rng(0)
+
+        def batches(self, bs, **kw):
+            for _ in range(4):
+                yield {
+                    "image_lr": self._g.standard_normal(
+                        (bs, 16, 16, 4)).astype(np.float32),
+                    "image_hr": self._g.standard_normal(
+                        (bs, 16, 16, 4)).astype(np.float32),
+                    "wvs": sn.SEN2NAIP_WVS,
+                }
+
+    monkeypatch.setattr(sn, "Sen2NaipCrossSensor", Synthetic)
+    cfg = {
+        "trainer": {"max_epochs": 1, "log_every_n_steps": 0,
+                    "limit_train_batches": 2, "val_every": 0},
+        "lightning_module": {
+            "base_lr": 1e-4,
+            "denoiser": {
+                "_target_": "KarrasDenoiser",
+                "backbone": {"in_channels": 4, "out_channels": 4,
+                             "cond_channels": 4, "hid_channels": [8, 16],
+                             "hid_blocks": [1, 1]},
+                "schedule": {"_target_": "VPSchedule"},
+            },
+            "sampler": {"_target_": "DDIMSampler", "steps": 2},
+        },
+        "datamodule": {
+            "_target_": "eo_vae.datasets.sen2naip.Sen2NaipCrossSensorDataModule",
+            "root": str(tmp_path), "batch_size": 2,
+        },
+    }
+    cfg_path = tmp_path / "pixel.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    sr_main(["--config", str(cfg_path), "--debug", "--max-steps", "2"])
