@@ -42,7 +42,7 @@ def main(argv=None) -> None:
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--sr-steps", type=int, default=50)
     parser.add_argument(
-        "--sr-sampler", default="ddim",
+        "--sr-sampler", default="ddim", choices=("ddim", "dpm++2m"),
         help="'ddim' or 'dpm++2m' (second-order: ~half the steps)",
     )
     parser.add_argument("--output", default=None)
@@ -79,7 +79,7 @@ def main(argv=None) -> None:
     from eovax.core.precision import policy_from_name
     from eovax.data.sen2naip import SEN2NAIP_WVS
     from eovax.models.eo_flux_vae import EOFluxVAE
-    from eovax.models.sr_diffusion import DDIMSampler, RectifiedSchedule, SimpleDenoiser
+    from eovax.models.sr_diffusion import RectifiedSchedule, SimpleDenoiser, make_sampler
     from eovax.models.unet import UNet
 
     policy = policy_from_name(args.precision)
@@ -115,8 +115,6 @@ def main(argv=None) -> None:
 
     def apply_fn(params, x_t, t, cond=None):
         return unet.apply({"params": params}, x_t, t, cond)
-
-    from eovax.models.sr_diffusion import make_sampler
 
     sampler = make_sampler(
         args.sr_sampler, SimpleDenoiser(apply_fn, RectifiedSchedule()),

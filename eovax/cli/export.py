@@ -59,7 +59,7 @@ def main(argv=None) -> None:
         "--sr-steps", type=int, default=50, help="sampling steps for --sr-config",
     )
     parser.add_argument(
-        "--sr-sampler", default="ddim",
+        "--sr-sampler", default="ddim", choices=("ddim", "dpm++2m"),
         help="'ddim' (reference parity) or 'dpm++2m' (second-order "
         "multistep: comparable error at ~half the steps)",
     )
@@ -106,8 +106,9 @@ def main(argv=None) -> None:
         if q:
             print(f"int8: {q['quantized_convs']} convs pre-quantized "
                   "(VAE + UNet trees)")
-        print(f"exported SR pipeline ({manifest['ddim_steps']} DDIM steps, "
-              f"{args.resolution}² LR input) to {args.output}")
+        print(f"exported SR pipeline ({manifest['steps']} "
+              f"{manifest['sampler']} steps, {args.resolution}² LR input) "
+              f"to {args.output}")
         return
 
     act_scales = None

@@ -103,6 +103,33 @@ def assign_spatial_split(
 # ---------------------------------------------------------------------------
 
 
+def _epoch_batches(ds, batch_size, *, shuffle, seed, drop_remainder,
+                   repeat, make_batch):
+    """Shared epoch loop for both Sen2NAIP datasets: shuffle order,
+    drop the remainder, optionally repeat. Guards the silent-forever
+    case (fewer samples than one full batch + repeat=True)."""
+    rng = random.Random(seed)
+    while True:
+        order = list(range(len(ds)))
+        if shuffle:
+            rng.shuffle(order)
+        yielded = False
+        for i in range(0, len(order), batch_size):
+            idxs = order[i : i + batch_size]
+            if len(idxs) < batch_size and drop_remainder:
+                continue
+            yielded = True
+            yield make_batch([ds[j] for j in idxs])
+        if not repeat:
+            return
+        if not yielded:
+            raise ValueError(
+                f"dataset of {len(ds)} samples yields no full batches of "
+                f"{batch_size} (drop_remainder) — repeat=True would spin "
+                "forever"
+            )
+
+
 class Sen2NaipCrossSensor:
     """LR Sentinel-2 (4ch ~128²) / HR NAIP (4ch ~512²) tif pairs
     (sen2naip.py:89-220). Directory layout: {root}/{aoi}/{lr,hr}.tif."""
@@ -157,20 +184,17 @@ class Sen2NaipCrossSensor:
         dataset's ``batches`` so the SR CLI trains either space): the
         collate z-scores and bicubic-upsamples LR to HR size, yielding
         {image_lr, image_hr, wvs} pixel batches."""
-        rng = random.Random(seed)
-        while True:
-            order = list(range(len(self)))
-            if shuffle:
-                rng.shuffle(order)
-            for i in range(0, len(order), batch_size):
-                idxs = order[i : i + batch_size]
-                if len(idxs) < batch_size and drop_remainder:
-                    continue
-                out = self.collate([self[j] for j in idxs])
-                out["wvs"] = SEN2NAIP_WVS
-                yield out
-            if not repeat:
-                return
+
+        def make_batch(samples):
+            out = self.collate(samples)
+            out["wvs"] = SEN2NAIP_WVS
+            return out
+
+        return _epoch_batches(
+            self, batch_size, shuffle=shuffle, seed=seed,
+            drop_remainder=drop_remainder, repeat=repeat,
+            make_batch=make_batch,
+        )
 
 
 def sen2naip_collate(samples: list[dict]) -> dict:
@@ -262,20 +286,15 @@ class Sen2NaipCrossSensorLatent:
         self, batch_size: int, *, shuffle: bool = False, seed: int = 0,
         drop_remainder: bool = True, repeat: bool = False,
     ) -> Iterator[dict]:
-        rng = random.Random(seed)
-        while True:
-            order = list(range(len(self)))
-            if shuffle:
-                rng.shuffle(order)
-            for i in range(0, len(order), batch_size):
-                idxs = order[i : i + batch_size]
-                if len(idxs) < batch_size and drop_remainder:
-                    continue
-                samples = [self[j] for j in idxs]
-                yield {
-                    "image_hr": np.stack([s["image_hr"] for s in samples]),
-                    "image_lr": np.stack([s["image_lr"] for s in samples]),
-                    "wvs": SEN2NAIP_WVS,
-                }
-            if not repeat:
-                return
+        def make_batch(samples):
+            return {
+                "image_hr": np.stack([s["image_hr"] for s in samples]),
+                "image_lr": np.stack([s["image_lr"] for s in samples]),
+                "wvs": SEN2NAIP_WVS,
+            }
+
+        return _epoch_batches(
+            self, batch_size, shuffle=shuffle, seed=seed,
+            drop_remainder=drop_remainder, repeat=repeat,
+            make_batch=make_batch,
+        )

@@ -234,9 +234,16 @@ class DPMSolverPlusPlus2M:
             h_prev = lam[i] - lam[jnp.maximum(i - 1, 0)]
             # r → second-order weight; first step (h_prev = 0) and the
             # post-endpoint step (h_prev = ±inf-clamped huge) both reduce
-            # toward first order, which is the correct limit.
+            # toward first order, which is the correct limit. The FINAL
+            # step must also drop to first order (diffusers
+            # `lower_order_final` / k-diffusion's sigma==0 special case):
+            # there sigma(0)=0 clamps h to ~40, making c = h/(2·h_prev)
+            # ≈ 20-30 — which would AMPLIFY the last two predictions'
+            # difference ~30× instead of integrating it (verified: 28×
+            # worse than DDIM on a drifting denoiser before this fix).
             r = h_prev / h
-            c = jnp.where(i == 0, 0.0, 1.0 / (2.0 * jnp.maximum(r, 1e-8)))
+            first_order = (i == 0) | (i == self.steps - 1)
+            c = jnp.where(first_order, 0.0, 1.0 / (2.0 * jnp.maximum(r, 1e-8)))
             d = (1.0 + c) * x0 - c * x0_prev
             # scalar grid values broadcast over [B,H,W,C] directly
             s_t = jnp.maximum(sched.sigma(ts[i]), 1e-8)

@@ -247,6 +247,9 @@ def export_sr_pipeline(
     from eovax.utils.checkpoint import save_variables
 
     os.makedirs(out_dir, exist_ok=True)
+    # Fail fast on a bad sampler name BEFORE quantizing/casting trees and
+    # writing the (potentially multi-GB) params.msgpack.
+    sampler_obj = make_sampler(sampler, denoiser, steps=steps)
     core = model.core
     z_ch = model.config.encoder.z_channels
     factor = 2 ** (len(model.config.encoder.ch_mult) - 1)
@@ -300,7 +303,6 @@ def export_sr_pipeline(
         lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), variables
     )
 
-    sampler_obj = make_sampler(sampler, denoiser, steps=steps)
     enc = getattr(type(core), "encode_spatial_normalized")
     dec = getattr(type(core), "decode_spatial_normalized")
 
@@ -332,7 +334,8 @@ def export_sr_pipeline(
         "params": _PARAMS,
         "pipeline": "sr",
         "sampler": sampler,
-        "ddim_steps": steps,
+        "steps": steps,
+        "ddim_steps": steps,  # back-compat alias; prefer "steps"
         "wvs": [float(v) for v in np.asarray(wvs_arr)],
         "functions": {
             "super_resolve": {

@@ -198,3 +198,29 @@ def test_dpmpp2m_fewer_steps_matches_ddim_many():
     assert isinstance(make_sampler("DDIMSampler", den, steps=4), DDIMSampler)
     with pytest.raises(ValueError):
         make_sampler("euler", den, steps=4)
+
+
+def test_dpmpp2m_final_step_first_order():
+    """Regression (round-3 review, empirically 28x worse before the fix):
+    the final step's sigma(0)=0 clamp makes h huge, so a second-order
+    coefficient there would AMPLIFY the last two x0 predictions'
+    difference ~30x. With a denoiser whose prediction drifts with t,
+    DPM++(2M) must stay at least as accurate as DDIM."""
+    from eovax.models.sr_diffusion import DPMSolverPlusPlus2M
+
+    x0 = jnp.full((1, 8, 8, 4), 0.5)
+
+    class Drifting:
+        schedule = RectifiedSchedule()
+
+        def denoise(self, params, x_t, t, cond=None):
+            return x0 + 0.01 * t.reshape(-1, 1, 1, 1)
+
+    den = Drifting()
+    x1 = DDIMSampler(den, steps=1).init(jax.random.PRNGKey(0), x0.shape)
+    for steps in (10, 50):
+        ddim = np.asarray(DDIMSampler(den, steps=steps)(None, x1))
+        dpm = np.asarray(DPMSolverPlusPlus2M(den, steps=steps)(None, x1))
+        err_ddim = np.abs(ddim - np.asarray(x0)).max()
+        err_dpm = np.abs(dpm - np.asarray(x0)).max()
+        assert err_dpm <= err_ddim * 1.5, (steps, err_dpm, err_ddim)
