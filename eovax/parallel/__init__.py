@@ -1,4 +1,5 @@
 from eovax.parallel.mesh import (  # noqa: F401
+    ShardingFallbackWarning,
     batch_sharding,
     init_distributed,
     make_mesh,

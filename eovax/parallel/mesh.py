@@ -24,6 +24,7 @@ this model family warrants them; attention is ≤16k tokens even at 1024².
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 import jax
@@ -31,6 +32,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+
+
+class ShardingFallbackWarning(UserWarning):
+    """A per-sample batch leaf was replicated instead of sharded.
+
+    Training still produces correct results (every device computes the
+    full batch) but at 1/N efficiency — on a pod this silently erases the
+    whole point of data parallelism. Fix: make the global batch size a
+    multiple of the mesh's data-axis extent (see docs/POD_RUNBOOK.md)."""
 
 
 #: env vars whose presence marks a multi-host launch (jax.distributed
@@ -92,11 +102,20 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+#: (leading_dim, mesh_size) combinations already warned about — one warning
+#: per distinct mismatch per process, not one per step.
+_warned_fallbacks: set[tuple[int, int]] = set()
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     """Place a host-local batch pytree sharded on axis 0.
 
     Scalars / per-batch vectors (e.g. the shared ``wvs`` vector) whose
-    leading dim doesn't divide by the mesh size are replicated instead.
+    leading dim doesn't divide by the mesh size are replicated instead —
+    silently for 0/1-D leaves (genuine per-batch constants), with a
+    :class:`ShardingFallbackWarning` for per-sample leaves (ndim ≥ 2):
+    replicating an image batch trains correctly but at 1/N efficiency,
+    which on a pod must never happen without notice.
     """
     n = mesh.shape[axis]
     data_sh = batch_sharding(mesh, axis)
@@ -106,6 +125,19 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
         if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0 and x.shape[0] >= n:
             return jax.device_put(x, data_sh)
+        if getattr(x, "ndim", 0) >= 2:
+            key = (int(x.shape[0]), int(n))
+            if key not in _warned_fallbacks:
+                _warned_fallbacks.add(key)
+                warnings.warn(
+                    f"shard_batch: per-sample leaf with leading dim "
+                    f"{x.shape[0]} is not divisible by the {n}-device "
+                    f"'{axis}' mesh axis — REPLICATING it (every device "
+                    f"computes the full batch, 1/{n} efficiency). Make the "
+                    f"global batch size a multiple of {n}.",
+                    ShardingFallbackWarning,
+                    stacklevel=3,
+                )
         return jax.device_put(x, repl_sh)
 
     return jax.tree_util.tree_map(place, batch)

@@ -10,6 +10,7 @@ from jax.sharding import PartitionSpec as P
 
 from eovax.parallel.mesh import (
     DATA_AXIS,
+    ShardingFallbackWarning,
     global_batch_from_local,
     make_mesh,
     place_batch,
@@ -46,6 +47,34 @@ def test_place_batch_matches_shard_batch_single_process():
     b = shard_batch(batch, mesh)
     np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
     assert a["image"].sharding == b["image"].sharding
+
+
+def test_shard_batch_warns_on_nondivisible_per_sample_leaf():
+    """VERDICT r3 #4: a per-sample (ndim ≥ 2) leaf whose leading dim
+    doesn't divide the mesh must warn (it trains at 1/N efficiency);
+    per-batch constants like `wvs` stay silently replicated."""
+    import eovax.parallel.mesh as mesh_mod
+
+    mesh = make_mesh()
+    g = np.random.default_rng(0)
+    bad = {
+        "image": g.standard_normal((6, 8, 8, 3), dtype=np.float32),  # 6 % 8 != 0
+        "wvs": np.asarray([0.665, 0.56, 0.49], np.float32),
+    }
+    mesh_mod._warned_fallbacks.clear()
+    with pytest.warns(ShardingFallbackWarning, match="not divisible"):
+        out = shard_batch(bad, mesh)
+    assert out["image"].sharding.is_fully_replicated  # still correct, just slow
+    # One warning per distinct mismatch per process — a second identical
+    # call (e.g. every train step) must stay quiet.
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", ShardingFallbackWarning)
+        shard_batch(bad, mesh)
+        # wvs (1-D constant) never warns, even on a fresh registry.
+        mesh_mod._warned_fallbacks.clear()
+        shard_batch({"wvs": bad["wvs"]}, mesh)
 
 
 def test_place_batch_multiprocess_route(monkeypatch):
