@@ -46,7 +46,20 @@ def _blur_matrix(n_in: int, kernel_size: int, sigma: float):
     return m
 
 
-def _depthwise_blur(x: jax.Array, kernel_size: int, sigma: float) -> jax.Array:
+#: Matmul precision for the gaussian-blur pyramid. HIGH (3-pass bf16,
+#: ~14-bit effective mantissa) beats the reference's own effective
+#: precision — Lightning '16-mixed' autocasts torchmetrics' SSIM convs to
+#: fp16 (10-bit mantissa) — at ~1/2 the MXU cost of HIGHEST (6-pass).
+#: Measured (scripts/measure_msssim_precision.py, B=16 256²): MS-SSIM value
+#: delta vs HIGHEST ≤ 1.2e-7 over 3 seeds; loss-term fwd+bwd 8.53 → 7.14 ms;
+#: whole train step 257.9 → 256.2 ms. Parity/eval harnesses pass
+#: precision=HIGHEST explicitly (see eovax.utils.metrics.ssim).
+DEFAULT_BLUR_PRECISION = jax.lax.Precision.HIGH
+
+
+def _depthwise_blur(
+    x: jax.Array, kernel_size: int, sigma: float, precision=None
+) -> jax.Array:
     """Separable gaussian filter, VALID padding. x: [B,H,W,C] fp32.
 
     TPU note: expressed as two banded matmuls over the H and W axes rather
@@ -55,11 +68,11 @@ def _depthwise_blur(x: jax.Array, kernel_size: int, sigma: float) -> jax.Array:
     MS-SSIM term's train-step cost ~50× at 256² (measured: the depthwise
     form added 282 ms to a 321 ms step at B=16).
     """
-    hi = jax.lax.Precision.HIGHEST
+    p = precision if precision is not None else DEFAULT_BLUR_PRECISION
     mh = jnp.asarray(_blur_matrix(x.shape[1], kernel_size, sigma))
     mw = jnp.asarray(_blur_matrix(x.shape[2], kernel_size, sigma))
-    y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=hi)
-    return jnp.einsum("pw,bowc->bopc", mw, y, precision=hi)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=p)
+    return jnp.einsum("pw,bowc->bopc", mw, y, precision=p)
 
 
 def _ssim_and_cs(
@@ -70,6 +83,7 @@ def _ssim_and_cs(
     sigma: float,
     k1: float,
     k2: float,
+    precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-sample mean SSIM and contrast sensitivity (torchmetrics algo)."""
     pad = (kernel_size - 1) // 2
@@ -80,7 +94,7 @@ def _ssim_and_cs(
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
 
-    blur = lambda t: _depthwise_blur(t, kernel_size, sigma)  # noqa: E731
+    blur = lambda t: _depthwise_blur(t, kernel_size, sigma, precision)  # noqa: E731
     mu_p, mu_t = blur(pred), blur(target)
     mu_pp, mu_tt, mu_pt = blur(pred * pred), blur(target * target), blur(pred * target)
 
@@ -118,8 +132,13 @@ def multiscale_ssim(
     k1: float = 0.01,
     k2: float = 0.03,
     normalize: str | None = "relu",
+    precision=None,
 ) -> jax.Array:
-    """MS-SSIM over NHWC batches → scalar (elementwise-mean reduction)."""
+    """MS-SSIM over NHWC batches → scalar (elementwise-mean reduction).
+
+    ``precision`` overrides the blur matmul precision (default
+    DEFAULT_BLUR_PRECISION = HIGH; pass jax.lax.Precision.HIGHEST for
+    bit-faithful fp32 parity harnesses)."""
     min_side = (kernel_size - 1) * 2 ** (len(betas) - 1)
     if pred.shape[1] <= min_side or pred.shape[2] <= min_side:
         raise ValueError(
@@ -133,7 +152,9 @@ def multiscale_ssim(
     mcs = []
     sim = None
     for i in range(len(betas)):
-        sim, cs = _ssim_and_cs(pred, target, data_range, kernel_size, sigma, k1, k2)
+        sim, cs = _ssim_and_cs(
+            pred, target, data_range, kernel_size, sigma, k1, k2, precision
+        )
         mcs.append(cs)
         if i != len(betas) - 1:
             pred, target = _avg_pool2(pred), _avg_pool2(target)

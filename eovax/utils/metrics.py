@@ -49,11 +49,17 @@ def ssim(
     k1: float = 0.01,
     k2: float = 0.03,
 ) -> jax.Array:
-    """Single-scale SSIM (gaussian window, torchmetrics algorithm)."""
+    """Single-scale SSIM (gaussian window, torchmetrics algorithm).
+
+    Eval metric, not a training loss — the gaussian blurs pin
+    ``Precision.HIGHEST`` (bit-faithful fp32) so reported quality numbers
+    are independent of the training-loss blur precision default
+    (``eovax.losses.msssim.DEFAULT_BLUR_PRECISION``)."""
     from eovax.losses.msssim import _ssim_and_cs
 
     sim, _ = _ssim_and_cs(
         pred.astype(jnp.float32), target.astype(jnp.float32),
         data_range, kernel_size, sigma, k1, k2,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return sim.mean()
