@@ -1,0 +1,240 @@
+"""Disk-shards → device training throughput (VERDICT r4 item #3).
+
+Answers the question the committed single-numbers couldn't: does the real
+tar/zip-zarr data path keep the flagship stage-2 train step fed? Measures,
+on synthetic S2L2A 256² int16 TerraMesh shards written with the test-side
+writers (tests/_zarr_helpers.py — same formats the real reader consumes):
+
+  1. reader-only decode rate (raw batches, no collate), 1 and N threads;
+  2. reader + collate rate (the full host-side producer feeding fit());
+  3. host→device batch transfer (place_batch + block);
+  4. Stage2Trainer.fit steps/s, disk-fed vs in-memory-fed, measured as a
+     two-length slope (fit 5 steps vs fit 5+N steps, same trainer/jit
+     cache) so compile + init cancel.
+
+Honesty notes baked into the output: this host has ONE usable CPU core
+(reader-thread scaling cannot demonstrate parallel speedup here — the
+1-thread rate is the per-core rate, N-thread scaling on a real TPU host
+is bounded by cores × that) and the TPU sits behind a ~26-30 ms network
+tunnel (H2D bandwidth is NOT representative of a real host's PCIe/DMA —
+the disk-fed vs memory-fed comparison shares it, so the *margin* is
+meaningful even though the absolute steps/s is tunnel-limited). Synthetic
+LZ4 frames are literal-encoded (test writers), so LZ4 decode does less
+match-copy work than real ~2:1 shards but reads MORE bytes per sample —
+the MB/s rate is conservative on bytes, optimistic on LZ4 matches.
+
+Run from /root/repo:  python scripts/bench_datapath.py [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# PYTHONPATH breaks the axon tunnel plugin on this host (memory:
+# host-measurement-pitfalls) — put the repo root on sys.path here.
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SHARD_DIR = "/tmp/eovax_datapath_shards"
+N_SHARDS = 4
+SAMPLES_PER_SHARD = 32
+BATCH = 16
+RAW_MB_PER_SAMPLE = 12 * 256 * 256 * 2 / 1e6  # int16 bands
+
+
+def gen_shards() -> list[str]:
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from _zarr_helpers import write_terramesh_shard
+
+    os.makedirs(SHARD_DIR, exist_ok=True)
+    paths = []
+    g = np.random.default_rng(7)
+    for s in range(N_SHARDS):
+        p = os.path.join(SHARD_DIR, f"majortom_shard_{s:06d}.tar")
+        paths.append(p)
+        if os.path.exists(p) and os.path.getsize(p) > 0:
+            continue
+        samples = [
+            {
+                "bands": g.integers(0, 4000, (1, 12, 256, 256)).astype("<i2"),
+                "time": 0,
+            }
+            for _ in range(SAMPLES_PER_SHARD)
+        ]
+        write_terramesh_shard(p, samples, compressor="lz4", key_prefix=f"s{s}")
+        print(f"wrote {p} ({os.path.getsize(p) / 1e6:.1f} MB)", flush=True)
+    return paths
+
+
+def reader(urls, threads, batch=BATCH):
+    from eovax.data.terramesh import build_terramesh_dataset
+
+    return build_terramesh_dataset(
+        SHARD_DIR, "S2L2A", urls=urls, batch_size=batch, shuffle=False,
+        repeat=True, num_reader_threads=threads,
+    )
+
+
+def rate_of(it, n_batches, warmup=2):
+    """Best of two timed segments (the first segment often pays cold page
+    cache / thread spin-up on this 1-core host)."""
+    for _ in range(warmup):
+        next(it)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            next(it)
+        best = min(best, time.perf_counter() - t0)
+    imgs = n_batches * BATCH
+    return imgs / best, imgs * RAW_MB_PER_SAMPLE / best
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--read-batches", type=int, default=12)
+    parser.add_argument("--skip-train", action="store_true",
+                        help="host-side rates only (no TPU)")
+    args = parser.parse_args()
+
+    urls = gen_shards()
+    results: dict[str, float] = {}
+
+    # ---- 1. reader-only (decode) rate ------------------------------------
+    for threads in (1, 4):
+        imgs_s, mb_s = rate_of(reader(urls, threads), args.read_batches)
+        results[f"reader_only_{threads}thread_imgs_s"] = imgs_s
+        results[f"reader_only_{threads}thread_MB_s"] = mb_s
+        print(f"reader-only {threads} thread(s): {imgs_s:7.1f} imgs/s "
+              f"= {mb_s:6.1f} MB/s raw", flush=True)
+
+    # ---- 2. reader + collate (full host-side producer) -------------------
+    from eovax.data.collate import deterministic_modality_collate
+
+    collate = deterministic_modality_collate(
+        "S2L2A", normalize=True, norm_scheme="legacy",
+        target_size=(256, 256), mode="train",
+    )
+    for threads in (1, 4):
+        raw = reader(urls, threads)
+        it = (collate(b) for b in raw)
+        imgs_s, mb_s = rate_of(it, args.read_batches)
+        results[f"reader_collate_{threads}thread_imgs_s"] = imgs_s
+        print(f"reader+collate {threads} thread(s): {imgs_s:7.1f} imgs/s "
+              f"({imgs_s * RAW_MB_PER_SAMPLE * 2:6.1f} MB/s fp32 out)",
+              flush=True)
+
+    if args.skip_train:
+        print("JSON:" + json.dumps({k: round(v, 2) for k, v in results.items()}))
+        return
+
+    # ---- 3. H2D transfer for one collated batch --------------------------
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/eovax_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from eovax.parallel.mesh import make_mesh, place_batch
+
+    mesh = make_mesh()
+    batch0 = collate(next(reader(urls, 1)))
+    nbytes = batch0["image"].nbytes
+    for _ in range(2):  # warm
+        jax.block_until_ready(
+            place_batch({"image": batch0["image"], "wvs": batch0["wvs"]}, mesh)[
+                "image"
+            ]
+        )
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        jax.block_until_ready(
+            place_batch({"image": batch0["image"], "wvs": batch0["wvs"]}, mesh)[
+                "image"
+            ]
+        )
+    h2d_s = (time.perf_counter() - t0) / reps
+    results["h2d_ms_per_batch"] = h2d_s * 1e3
+    results["h2d_MB_s"] = nbytes / 1e6 / h2d_s
+    print(f"H2D: {h2d_s * 1e3:.1f} ms / {nbytes / 1e6:.0f} MB batch "
+          f"= {results['h2d_MB_s']:.0f} MB/s (tunnel-limited)", flush=True)
+
+    # ---- 4. fit() steps/s: disk-fed vs memory-fed (two-length slope) -----
+    from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig
+    from eovax.losses import EOConsistencyLoss
+    from eovax.models.eo_flux_vae import EOFluxVAE
+    from eovax.train.stage2 import Stage2Trainer
+
+    stem = StemConfig(num_layers=4, wv_planes=256)
+    cfg = VAEConfig(
+        encoder=EncoderConfig(in_channels=12, stem=stem),
+        decoder=DecoderConfig(out_ch=12, stem=stem),
+        base_lr=1e-4, clip_grad=1.0,
+    )
+    model = EOFluxVAE(cfg, seed=0)
+    loss = EOConsistencyLoss(
+        pixel_weight=1.0, rec_loss_type="char", msssim_weight=1.0,
+        msssim_start_step=0,
+    )
+    trainer = Stage2Trainer(
+        model=model, loss_obj=loss, cfg=cfg, max_steps=5, log_every=0,
+        mesh=mesh, seed=0,
+    )
+
+    def fit_time(batch_iter_factory, n_steps):
+        trainer.max_steps = n_steps
+        t0 = time.perf_counter()
+        state = trainer.fit(batch_iter_factory())
+        jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+        assert int(state.step) == n_steps
+        return time.perf_counter() - t0
+
+    short, long_ = 5, 5 + args.steps
+
+    def disk_iter():
+        raw = reader(urls, 1)
+        return (collate(b) for b in raw)
+
+    # Pre-collated batches cycled from memory (the feed-free upper bound).
+    mem_batches = []
+    it = disk_iter()
+    for _ in range(8):
+        b = next(it)
+        mem_batches.append({"image": np.asarray(b["image"]), "wvs": b["wvs"]})
+
+    def mem_iter():
+        import itertools
+
+        return itertools.cycle(mem_batches)
+
+    rows = {}
+    for label, factory in (("memory_fed", mem_iter), ("disk_fed_1thread", disk_iter)):
+        fit_time(factory, short)  # compile + warm path for this source
+        t_short = fit_time(factory, short)
+        t_long = fit_time(factory, long_)
+        ms = (t_long - t_short) / args.steps * 1e3
+        rows[label] = ms
+        results[f"{label}_step_ms"] = ms
+        results[f"{label}_imgs_s"] = BATCH * 1e3 / ms
+        print(f"{label}: {ms:.1f} ms/step = {BATCH * 1e3 / ms:.1f} imgs/s",
+              flush=True)
+
+    margin = rows["memory_fed"] / rows["disk_fed_1thread"]
+    results["feed_efficiency_1thread"] = margin
+    print(f"feed efficiency (memory-fed / disk-fed step time): {margin:.3f} "
+          f"(1.0 = reader fully hidden)", flush=True)
+    print("JSON:" + json.dumps({k: round(v, 3) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
