@@ -174,6 +174,9 @@ def main(argv=None) -> None:
             num_workers=dm_cfg.get("num_workers", 4),
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            # TPU-side normalize+augment: frees the host cores for decode
+            # (measured 11 ms/img of numpy collate; ARCHITECTURE round-4).
+            device_prep=dm_cfg.get("device_prep", False),
         )
         train_iter = pipeline.train_batches()
         val_factory = pipeline.val_batches

@@ -37,6 +37,16 @@ def apply_batch_augmentations(
     return np.ascontiguousarray(images)
 
 
+def _roll_d4(rng: random.Random | None, square: bool) -> np.ndarray:
+    """One (flip_h, flip_v, rot_k) draw — SAME rng consumption order as
+    apply_batch_augmentations so host and device paths share the stream."""
+    r = rng or random
+    fh = int(r.random() > 0.5)
+    fv = int(r.random() > 0.5)
+    k = r.randint(0, 3)
+    return np.asarray([fh, fv, k if square else 0], np.int32)
+
+
 def _prepare(
     images: np.ndarray,
     modality: str,
@@ -46,10 +56,38 @@ def _prepare(
     target_size: tuple[int, int] | None,
     train: bool,
     rng: random.Random | None,
+    device_prep: bool = False,
 ) -> dict[str, Any]:
-    x = np.asarray(images, np.float32)
+    x = np.asarray(images)
     if x.ndim == 3:
         x = x[None]
+    if device_prep:
+        # Emit the raw decoded batch + tiny descriptors; normalize and D4
+        # run on-device (eovax.data.device_prep — measured 11 ms/img of
+        # single-core numpy moved to ~100 µs of HBM traffic per batch).
+        if target_size is not None and x.shape[1:3] != tuple(target_size):
+            x = resize_nhwc(
+                np.asarray(x, np.float32), tuple(target_size), mode="bilinear"
+            )
+        n = make_normalizer(modality, norm_scheme)
+        clip = n.clip if n.clip is not None else (-np.inf, np.inf)
+        if not normalize:
+            mean = np.zeros(x.shape[-1], np.float32)
+            std = np.ones(x.shape[-1], np.float32)
+            clip = (-np.inf, np.inf)
+        else:
+            mean, std = n.mean, n.std + n.eps
+        square = x.shape[1] == x.shape[2]
+        return {
+            "image": x,
+            "wvs": np.asarray(WAVELENGTHS[modality], np.float32),
+            "modality": modality,
+            "norm_mean": np.asarray(mean, np.float32),
+            "norm_std": np.asarray(std, np.float32),
+            "norm_clip": np.asarray(clip, np.float32),
+            "d4": _roll_d4(rng, square) if train else np.zeros(3, np.int32),
+        }
+    x = np.asarray(x, np.float32)
     if normalize:
         x = make_normalizer(modality, norm_scheme)(x)
     if target_size is not None and x.shape[1:3] != tuple(target_size):
@@ -72,6 +110,7 @@ def single_modality_collate(
     mode: str = "train",
     return_metadata: bool = False,
     seed: int | None = None,
+    device_prep: bool = False,
 ) -> Callable[[Mapping[str, Any]], dict[str, Any]]:
     """Pick ONE random modality per batch and prepare it."""
     rng = random.Random(seed) if seed is not None else random
@@ -93,6 +132,7 @@ def single_modality_collate(
             normalize=normalize, norm_scheme=norm_scheme,
             target_size=target_size, train=(mode == "train"),
             rng=rng if isinstance(rng, random.Random) else None,
+            device_prep=device_prep,
         )
         if return_metadata:
             for key in ("time", "lat", "lon", "crs", "grid_id", "center_lat", "center_lon"):
@@ -112,6 +152,7 @@ def deterministic_modality_collate(
     mode: str = "train",
     return_metadata: bool = False,
     seed: int | None = None,
+    device_prep: bool = False,
 ) -> Callable[[Mapping[str, Any]], dict[str, Any]]:
     """Always the same modality (validation path)."""
     rng = random.Random(seed) if seed is not None else None
@@ -122,6 +163,7 @@ def deterministic_modality_collate(
             images, modality,
             normalize=normalize, norm_scheme=norm_scheme,
             target_size=target_size, train=(mode == "train"), rng=rng,
+            device_prep=device_prep,
         )
         if return_metadata:
             for key in ("time", "lat", "lon", "crs", "grid_id", "center_lat", "center_lon"):

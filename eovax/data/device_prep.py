@@ -1,0 +1,71 @@
+"""Device-side batch preparation: z-score normalize + D4 augment on TPU.
+
+The reference runs normalization and augmentation inside torch DataLoader
+worker *processes* (terramesh_datamodule.py:305-369, 418-577) — cheap when
+a host has dozens of cores. The TPU-native framing is the opposite: these
+are elementwise / spatial-permutation ops, i.e. ~100 µs of HBM traffic for
+a 50 MB batch on-device, vs ~11 ms/img of single-core numpy on the host
+(measured, scripts/bench_datapath.py — the collate was 2.4× the cost of
+the LZ4+zarr decode itself and left a 1.01× feed margin per core).
+
+With ``device_prep`` collate mode (eovax.data.collate), the host emits the
+raw decoded batch plus tiny normalization/augment descriptors, and the
+trainer expands :func:`device_prepare` INSIDE the train/eval step jit
+(``eovax.train.stage2._resolve_image``) — zero extra dispatches, the
+normalize folds into the first stem conv, the op runs sharded on the batch
+axis like every other step input, and the raw int16 H2D transfer is half
+the bytes of a host-collated fp32 batch.
+
+Semantics match the host path exactly (tests/test_device_prep.py):
+``clip → (x - mean) / std → D4`` where std already includes the legacy
+``+1e-8`` epsilon, and the D4 draw (flip_h, flip_v, rot_k) is rolled by
+the collate's RNG per batch — randomness stays owned by the data pipeline,
+identical stream to the host path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["device_prepare"]
+
+
+def device_prepare(
+    image: jax.Array,
+    norm_mean: jax.Array,
+    norm_std: jax.Array,
+    norm_clip: jax.Array,
+    d4: jax.Array,
+) -> jax.Array:
+    """Normalize + D4-augment one NHWC batch on device.
+
+    Args:
+      image: [B,H,W,C] raw decoded values (any real dtype; cast to fp32).
+      norm_mean / norm_std: [C] fp32. ``norm_std`` already contains any
+        epsilon (legacy scheme ships ``std + 1e-8``).
+      norm_clip: [2] fp32 ``(lo, hi)`` — ``(-inf, +inf)`` disables the clip
+        branchlessly ('legacy' scheme; 'custom' clips to [0, 10000],
+        terramesh_datamodule.py:144-257).
+      d4: [3] int32 ``(flip_h, flip_v, rot_k)``; rot90 requires H == W
+        (the collate only rolls k != 0 for square batches).
+    """
+    x = image.astype(jnp.float32)
+    x = jnp.clip(x, norm_clip[0], norm_clip[1])
+    x = (x - norm_mean) * (1.0 / norm_std)
+    # D4 augment (terramesh_datamodule.py:347-369, same op order as
+    # eovax.data.collate.apply_batch_augmentations: H-flip, V-flip, rot k).
+    x = jax.lax.cond(d4[0] == 1, lambda t: t[:, :, ::-1], lambda t: t, x)
+    x = jax.lax.cond(d4[1] == 1, lambda t: t[:, ::-1], lambda t: t, x)
+    if x.shape[1] == x.shape[2]:  # rot90 is shape-preserving only when square
+        x = jax.lax.switch(
+            d4[2],
+            [
+                lambda t: t,
+                lambda t: jnp.rot90(t, 1, axes=(1, 2)),
+                lambda t: jnp.rot90(t, 2, axes=(1, 2)),
+                lambda t: jnp.rot90(t, 3, axes=(1, 2)),
+            ],
+            x,
+        )
+    return x

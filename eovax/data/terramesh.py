@@ -221,9 +221,10 @@ def _modality_from_path(path: str) -> str | None:
 
 def decode_sample(
     sample: dict[str, Any], *, harmonize_s2l2a: bool = False,
-    return_metadata: bool = False,
+    return_metadata: bool = False, dtype: np.dtype | None = np.float32,
 ) -> dict[str, Any]:
-    """zip-zarr members → fp32 HWC arrays; squeezes the time dim
+    """zip-zarr members → fp32 HWC arrays (``dtype=None`` preserves the
+    stored dtype for the device_prep path); squeezes the time dim
     (drop_time_dim, terramesh.py:319-337). Single-modality samples get the
     'image' key (rename parity, terramesh.py:410). With return_metadata,
     attaches center_lon/center_lat/cloud_mask/time like
@@ -238,10 +239,14 @@ def decode_sample(
             is_s2l2a = "S2L2A" in ext or ext == "zarr.zip"
             if return_metadata:
                 group = ZarrZipGroup(value)
-                bands = np.asarray(group["bands"], np.float32)
+                bands = (
+                    np.asarray(group["bands"])
+                    if dtype is None
+                    else np.asarray(group["bands"], dtype)
+                )
                 timestamp = int(np.asarray(group.get("time", 0)).reshape(-1)[0])
                 if harmonize_s2l2a and is_s2l2a and timestamp >= S2L2A_BASELINE_CUTOFF_NS:
-                    bands = bands + 1000.0
+                    bands = np.asarray(bands, np.float32) + 1000.0
                 if "center_lon" not in out and "center_lon" in group:
                     out["center_lon"] = np.asarray(group["center_lon"]).reshape(-1)[0]
                     out["center_lat"] = np.asarray(group["center_lat"]).reshape(-1)[0]
@@ -252,7 +257,8 @@ def decode_sample(
                     out[tkey] = timestamp
             else:
                 bands = decode_zarr_zip_bands(
-                    value, harmonize_s2l2a=harmonize_s2l2a and is_s2l2a
+                    value, harmonize_s2l2a=harmonize_s2l2a and is_s2l2a,
+                    dtype=dtype,
                 )
             if bands.ndim == 4 and bands.shape[0] == 1:
                 bands = bands[0]  # drop time dim
@@ -364,6 +370,7 @@ def build_terramesh_dataset(
     num_reader_threads: int = 1,
     prefetch_depth: int = 4,
     repeat: bool = False,
+    decode_dtype: np.dtype | None = np.float32,
 ) -> Iterator[dict]:
     """Streaming TerraMesh reader → iterator of raw sample batches.
 
@@ -423,7 +430,10 @@ def build_terramesh_dataset(
                 def decoded():
                     def _decode(raw):
                         try:
-                            return decode_sample(raw, harmonize_s2l2a=harmonize_s2l2a)
+                            return decode_sample(
+                                raw, harmonize_s2l2a=harmonize_s2l2a,
+                                dtype=decode_dtype,
+                            )
                         except Exception as e:  # warn_and_continue parity
                             warnings.warn(f"Skipping corrupt sample: {e}")
                             return None
@@ -517,6 +527,7 @@ class TerraMeshPipeline:
         num_workers: int = 4,  # reader/decoder threads (reference default)
         process_index: int = 0,
         process_count: int = 1,
+        device_prep: bool = False,  # normalize+D4 on device (data/device_prep)
     ):
         from eovax.data.collate import (
             deterministic_modality_collate,
@@ -537,23 +548,31 @@ class TerraMeshPipeline:
             self.train_collate = single_modality_collate(
                 self.modalities, normalize=normalize, norm_scheme=norm_scheme,
                 target_size=target_size, mode="train", seed=seed,
+                device_prep=device_prep,
             )
         else:
             self.train_collate = deterministic_modality_collate(
                 train_collate_mode, normalize=normalize, norm_scheme=norm_scheme,
                 target_size=target_size, mode="train", seed=seed,
+                device_prep=device_prep,
             )
         self.val_collate = deterministic_modality_collate(
             val_collate_mode, normalize=normalize, norm_scheme=norm_scheme,
-            target_size=target_size, mode="eval",
+            target_size=target_size, mode="eval", device_prep=device_prep,
         )
+        # device_prep ships raw bands to the TPU — keep the stored dtype
+        # (int16 S2 bands transfer at half the fp32 bytes and skip one
+        # numpy cast pass per sample on the host; device_prepare casts
+        # on device). Host collate needs fp32 for numpy normalize.
+        self._decode_dtype = None if device_prep else np.float32
 
     def train_batches(self) -> Iterator[dict]:
         raw = build_terramesh_dataset(
             self.data_path, self.modalities, "train",
             batch_size=self.batch_size, shuffle=True, seed=self.seed,
             harmonize_s2l2a=self._harmonize, repeat=True,
-            num_reader_threads=self.num_workers, **self.process,
+            num_reader_threads=self.num_workers,
+            decode_dtype=self._decode_dtype, **self.process,
         )
         return (self.train_collate(b) for b in raw)
 
@@ -562,6 +581,7 @@ class TerraMeshPipeline:
             self.data_path, self.modalities, "val",
             batch_size=self.eval_batch_size, shuffle=False,
             harmonize_s2l2a=self._harmonize,
-            num_reader_threads=self.num_workers, **self.process,
+            num_reader_threads=self.num_workers,
+            decode_dtype=self._decode_dtype, **self.process,
         )
         return (self.val_collate(b) for b in raw)

@@ -178,16 +178,31 @@ class ZarrZipGroup:
 
 
 def decode_zarr_zip_bands(
-    data: bytes, *, harmonize_s2l2a: bool = False, cutoff_ns: int | None = None
+    data: bytes,
+    *,
+    harmonize_s2l2a: bool = False,
+    cutoff_ns: int | None = None,
+    dtype: np.dtype | None = np.float32,
 ) -> np.ndarray:
-    """bytes → fp32 bands with optional S2L2A +1000 harmonization
-    (terramesh.py:239-253)."""
+    """bytes → bands with optional S2L2A +1000 harmonization
+    (terramesh.py:239-253).
+
+    ``dtype=None`` preserves the stored dtype (int16 for S2 bands) — the
+    device_prep data path ships raw integers to the TPU at half the H2D
+    bytes and skips one full-array numpy cast pass per sample on the host
+    (eovax/data/device_prep.py casts on device). A sample whose
+    harmonization offset fires is promoted to fp32 (reference semantics
+    add 1000.0 in float; integer overflow is not our problem to own)."""
     group = ZarrZipGroup(data)
-    bands = np.asarray(group["bands"], np.float32)
+    bands = (
+        np.asarray(group["bands"])
+        if dtype is None
+        else np.asarray(group["bands"], dtype)
+    )
     if harmonize_s2l2a and "time" in group:
         timestamp = np.asarray(group["time"]).reshape(-1)[0]
         if cutoff_ns is None:
             from eovax.data.terramesh import S2L2A_BASELINE_CUTOFF_NS as cutoff_ns
         if int(timestamp) >= int(cutoff_ns):
-            bands = bands + 1000.0
+            bands = np.asarray(bands, np.float32) + 1000.0
     return bands

@@ -304,6 +304,21 @@ def make_adversarial_steps(
     return gen_step, disc_step
 
 
+def _resolve_image(image):
+    """Expand a device_prep collate batch inside the step jit.
+
+    ``device_prep=True`` collate mode ships the batch as a ``(raw, mean,
+    std, clip, d4)`` tuple of placed arrays (eovax/data/device_prep.py);
+    resolving it at trace time means normalize + D4 run fused into the
+    step program — zero extra dispatches, and the normalize folds into the
+    first stem conv. Host-collated batches pass through untouched."""
+    if isinstance(image, tuple):
+        from eovax.data.device_prep import device_prepare
+
+        return device_prepare(*image)
+    return image
+
+
 def make_eval_step(core: EOVAECore, loss_obj):
     """Validation step (new_autoencoder.py:692-712): stochastic forward,
     loss in eval mode (no BN-stat updates)."""
@@ -384,6 +399,7 @@ class Stage2Trainer:
             )
         self._eval_step = make_eval_step(core, self.loss_obj)
         self._jit_cache: dict[Any, Any] = {}
+        self._desc_cache: dict[str, dict] = {}  # device_prep placed consts
         self._rng = random.Random(self.seed)
         self._key = jax.random.PRNGKey(self.seed)
 
@@ -437,7 +453,10 @@ class Stage2Trainer:
                 step = self._gen_step if self.adversarial else self._train_step
 
                 def fn_raw(state, image, wvs, rng):
-                    return step(state, image, wvs, rng, scale=scale, angle=angle)
+                    return step(
+                        state, _resolve_image(image), wvs, rng,
+                        scale=scale, angle=angle,
+                    )
 
                 fn = jax.jit(fn_raw, donate_argnums=(0,))
             elif kind == "disc":
@@ -451,14 +470,18 @@ class Stage2Trainer:
                         "batch_stats": state.batch_stats,
                     }
                     recon, _ = core.apply(
-                        variables, image, wvs, sample_posterior=False,
-                        method=EOVAECore.forward,
+                        variables, _resolve_image(image), wvs,
+                        sample_posterior=False, method=EOVAECore.forward,
                     )
                     return recon
 
                 fn = jax.jit(recon_raw)
             else:
-                fn = jax.jit(self._eval_step)
+
+                def eval_raw(state, image, wvs, rng):
+                    return self._eval_step(state, _resolve_image(image), wvs, rng)
+
+                fn = jax.jit(eval_raw)
             self._jit_cache[key] = fn
         return fn
 
@@ -509,9 +532,7 @@ class Stage2Trainer:
                     break
                 scale, angle = self._roll_mode()
                 self._key, step_key = jax.random.split(self._key)
-                sharded = place_batch(
-                    {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
-                )
+                sharded = self._place_prepared(batch)
                 fn = self._jitted("train", scale, angle)
                 if self.adversarial:
                     state, logs, recon, target = fn(
@@ -550,6 +571,46 @@ class Stage2Trainer:
             self._checkpointer.wait()  # flush pending async writes
         return state
 
+    def _place_prepared(self, batch: dict) -> dict:
+        """Place one host batch on the mesh. When the collate emitted a raw
+        batch (``device_prep=True`` mode, eovax.data.device_prep), the
+        "image" entry becomes the ``(raw, mean, std, clip, d4)`` tuple that
+        :func:`_resolve_image` expands INSIDE the step jit — normalize + D4
+        cost zero extra dispatches, XLA fuses the normalize into the first
+        stem conv, and the raw int16 transfer is half the bytes of the
+        host-collated fp32 batch. Host cost drops to the decode itself
+        (scripts/bench_datapath.py: the numpy collate alone was 11 ms/img
+        on one core).
+
+        The per-modality constants (norm mean/std/clip, wvs) are placed
+        ONCE and cached — only the image and the 12-byte D4 draw transfer
+        per step."""
+        if "norm_mean" not in batch:
+            return place_batch(
+                {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
+            )
+        modality = batch.get("modality", "?")
+        desc = self._desc_cache.get(modality)
+        if desc is None:
+            desc = place_batch(
+                {
+                    "wvs": batch["wvs"],
+                    "norm_mean": batch["norm_mean"],
+                    "norm_std": batch["norm_std"],
+                    "norm_clip": batch["norm_clip"],
+                },
+                self.mesh,
+            )
+            self._desc_cache[modality] = desc
+        placed = place_batch(
+            {"image": batch["image"], "d4": batch["d4"]}, self.mesh
+        )
+        image = (
+            placed["image"], desc["norm_mean"], desc["norm_std"],
+            desc["norm_clip"], placed["d4"],
+        )
+        return {"image": image, "wvs": desc["wvs"]}
+
     def validate(self, state: TrainState, val_iter: Iterator[dict], max_batches: int = 100):
         fn = self._jitted("eval", None, None)
         agg: dict[str, list] = {}
@@ -557,9 +618,7 @@ class Stage2Trainer:
             if i >= max_batches:
                 break
             self._key, k = jax.random.split(self._key)
-            sharded = place_batch(
-                {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
-            )
+            sharded = self._place_prepared(batch)
             if i == 0 and self.image_logger is not None:
                 # Reconstruction grid on val batch 0 (reference ImageLogger
                 # callback, train.py:151-154 / image_logger.py:183-284).
@@ -568,8 +627,13 @@ class Stage2Trainer:
                 # device_get on a multi-host-sharded array would raise.
                 recon = self._jitted("recon")(state, sharded["image"], sharded["wvs"])
                 if jax.process_index() == 0:
+                    img = sharded["image"]
+                    if isinstance(img, tuple):
+                        # device_prep mode: materialize the prepared batch
+                        # once for the logging grid (val batch 0 only).
+                        img = jax.jit(_resolve_image)(img)
                     self.image_logger.log(
-                        local_numpy(sharded["image"]),
+                        local_numpy(img),
                         local_numpy(recon),
                         modality=batch.get("modality", "S2RGB"),
                         norm_scheme=self.norm_scheme,

@@ -72,12 +72,12 @@ def gen_shards() -> list[str]:
     return paths
 
 
-def reader(urls, threads, batch=BATCH):
+def reader(urls, threads, batch=BATCH, dtype=np.float32):
     from eovax.data.terramesh import build_terramesh_dataset
 
     return build_terramesh_dataset(
         SHARD_DIR, "S2L2A", urls=urls, batch_size=batch, shuffle=False,
-        repeat=True, num_reader_threads=threads,
+        repeat=True, num_reader_threads=threads, decode_dtype=dtype,
     )
 
 
@@ -102,6 +102,9 @@ def main() -> None:
     parser.add_argument("--read-batches", type=int, default=12)
     parser.add_argument("--skip-train", action="store_true",
                         help="host-side rates only (no TPU)")
+    parser.add_argument("--device-prep", action="store_true",
+                        help="also measure the device_prep collate mode "
+                        "(normalize+D4 on TPU, eovax.data.device_prep)")
     args = parser.parse_args()
 
     urls = gen_shards()
@@ -130,6 +133,20 @@ def main() -> None:
         print(f"reader+collate {threads} thread(s): {imgs_s:7.1f} imgs/s "
               f"({imgs_s * RAW_MB_PER_SAMPLE * 2:6.1f} MB/s fp32 out)",
               flush=True)
+
+    collate_dev = deterministic_modality_collate(
+        "S2L2A", normalize=True, norm_scheme="legacy",
+        target_size=(256, 256), mode="train", device_prep=True,
+    )
+    if args.device_prep:
+        # Native-dtype decode (int16 stays int16 end to end — the pipeline
+        # sets decode_dtype=None whenever device_prep is on).
+        raw = reader(urls, 1, dtype=None)
+        it = (collate_dev(b) for b in raw)
+        imgs_s, _ = rate_of(it, args.read_batches)
+        results["reader_collate_deviceprep_1thread_imgs_s"] = imgs_s
+        print(f"reader+collate[device_prep] 1 thread: {imgs_s:7.1f} imgs/s "
+              f"(normalize+D4 moved to TPU, int16 end-to-end)", flush=True)
 
     if args.skip_train:
         print("JSON:" + json.dumps({k: round(v, 2) for k, v in results.items()}))
@@ -217,8 +234,15 @@ def main() -> None:
 
         return itertools.cycle(mem_batches)
 
+    def disk_iter_dev():
+        raw = reader(urls, 1, dtype=None)
+        return (collate_dev(b) for b in raw)
+
+    sources = [("memory_fed", mem_iter), ("disk_fed_1thread", disk_iter)]
+    if args.device_prep:
+        sources.append(("disk_fed_deviceprep_1thread", disk_iter_dev))
     rows = {}
-    for label, factory in (("memory_fed", mem_iter), ("disk_fed_1thread", disk_iter)):
+    for label, factory in sources:
         fit_time(factory, short)  # compile + warm path for this source
         t_short = fit_time(factory, short)
         t_long = fit_time(factory, long_)
@@ -233,6 +257,10 @@ def main() -> None:
     results["feed_efficiency_1thread"] = margin
     print(f"feed efficiency (memory-fed / disk-fed step time): {margin:.3f} "
           f"(1.0 = reader fully hidden)", flush=True)
+    if args.device_prep:
+        m2 = rows["memory_fed"] / rows["disk_fed_deviceprep_1thread"]
+        results["feed_efficiency_deviceprep_1thread"] = m2
+        print(f"feed efficiency [device_prep]: {m2:.3f}", flush=True)
     print("JSON:" + json.dumps({k: round(v, 3) for k, v in results.items()}))
 
 

@@ -1,0 +1,208 @@
+"""Device-side batch prep (normalize + D4 on TPU) vs the host collate.
+
+The device path must be *semantically identical* to the host numpy path
+(reference terramesh_datamodule.py:305-369, 418-577): same normalization,
+same clip, same D4 draw from the same RNG stream. On CPU the math is exact
+fp32, so the parity tolerances are tight.
+"""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eovax.data.collate import (
+    apply_batch_augmentations,
+    deterministic_modality_collate,
+    single_modality_collate,
+)
+from eovax.data.device_prep import device_prepare
+from eovax.data.normalize import make_normalizer
+
+
+def _raw_batch(b=4, h=32, w=32, c=12, seed=0):
+    g = np.random.default_rng(seed)
+    return g.integers(0, 4000, (b, h, w, c)).astype(np.int16)
+
+
+@pytest.mark.parametrize("scheme", ["legacy", "custom"])
+def test_device_prepare_matches_host_normalize_and_d4(scheme):
+    raw = _raw_batch()
+    host_rng = random.Random(7)
+    dev_rng = random.Random(7)
+
+    # Host path: normalize then augment, exactly as _prepare does.
+    x = make_normalizer("S2L2A", scheme)(np.asarray(raw, np.float32))
+    host = apply_batch_augmentations(x, host_rng)
+
+    # Device path: same draw from the same stream via the collate's roller.
+    from eovax.data.collate import _roll_d4
+
+    d4 = _roll_d4(dev_rng, square=True)
+    n = make_normalizer("S2L2A", scheme)
+    clip = n.clip if n.clip is not None else (-np.inf, np.inf)
+    dev = np.asarray(
+        device_prepare(
+            jnp.asarray(raw),
+            jnp.asarray(n.mean, jnp.float32),
+            jnp.asarray(n.std + n.eps, jnp.float32),
+            jnp.asarray(clip, jnp.float32),
+            jnp.asarray(d4),
+        )
+    )
+    np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6)
+
+
+def test_device_prepare_all_16_d4_cases_match_host():
+    raw = _raw_batch(b=2, h=16, w=16, c=3).astype(np.float32)
+    n = make_normalizer("S2RGB", "legacy")
+    x = n(raw)
+    for fh in (0, 1):
+        for fv in (0, 1):
+            for k in range(4):
+                host = x
+                if fh:
+                    host = host[:, :, ::-1]
+                if fv:
+                    host = host[:, ::-1]
+                if k:
+                    host = np.rot90(host, k, axes=(1, 2))
+                dev = np.asarray(
+                    device_prepare(
+                        jnp.asarray(raw),
+                        jnp.asarray(n.mean, jnp.float32),
+                        jnp.asarray(n.std + n.eps, jnp.float32),
+                        jnp.asarray([-np.inf, np.inf], jnp.float32),
+                        jnp.asarray([fh, fv, k], jnp.int32),
+                    )
+                )
+                np.testing.assert_allclose(
+                    dev, np.ascontiguousarray(host), rtol=1e-6, atol=1e-6,
+                    err_msg=f"d4=({fh},{fv},{k})",
+                )
+
+
+def test_collate_device_prep_emits_descriptors_and_skips_host_work():
+    raw = _raw_batch(b=4, h=32, w=32, c=12)
+    collate = deterministic_modality_collate(
+        "S2L2A", normalize=True, norm_scheme="legacy",
+        target_size=(32, 32), mode="train", seed=3, device_prep=True,
+    )
+    out = collate({"S2L2A": raw})
+    # Image passes through untouched (no fp32 conversion on host).
+    assert out["image"].dtype == np.int16
+    np.testing.assert_array_equal(out["image"], raw)
+    assert out["norm_mean"].shape == (12,)
+    assert out["norm_std"].shape == (12,)
+    assert out["norm_clip"].shape == (2,)
+    assert out["d4"].shape == (3,) and out["d4"].dtype == np.int32
+    # Same RNG stream as the host path: seed 3 must give the same draw.
+    assert tuple(out["d4"]) == tuple(
+        __import__("eovax.data.collate", fromlist=["_roll_d4"])._roll_d4(
+            random.Random(3), True
+        )
+    )
+
+
+def test_collate_device_prep_eval_mode_identity_d4():
+    raw = _raw_batch(b=2, h=32, w=32, c=12)
+    collate = deterministic_modality_collate(
+        "S2L2A", target_size=(32, 32), mode="eval", device_prep=True,
+    )
+    out = collate({"S2L2A": raw})
+    assert tuple(out["d4"]) == (0, 0, 0)
+
+
+def test_collate_device_prep_nonsquare_never_rolls_rot():
+    raw = _raw_batch(b=2, h=16, w=32, c=12)
+    collate = single_modality_collate(
+        ["S2L2A"], target_size=None, mode="train", seed=0, device_prep=True,
+    )
+    for _ in range(20):
+        out = collate({"S2L2A": raw})
+        assert out["d4"][2] == 0
+
+
+def test_trainer_device_prep_batch_matches_host_prep_batch():
+    """One eval step through Stage2Trainer on a tiny model: metrics from a
+    device-prep batch must equal the host-collated batch's exactly (eval
+    collate → no augment; CPU math is exact)."""
+    from eovax.core.config import DecoderConfig, EncoderConfig, StemConfig, VAEConfig
+    from eovax.losses import EOConsistencyLoss
+    from eovax.models.eo_flux_vae import EOFluxVAE
+    from eovax.train.stage2 import Stage2Trainer
+
+    stem = StemConfig(num_layers=1, wv_planes=64)
+    cfg = VAEConfig(
+        encoder=EncoderConfig(
+            in_channels=12, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+            z_channels=8, use_dynamic_ops=True, stem=stem, resolution=32,
+        ),
+        decoder=DecoderConfig(
+            out_ch=12, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+            z_channels=8, use_dynamic_ops=True, stem=stem, resolution=32,
+        ),
+    )
+    model = EOFluxVAE(cfg, seed=0)
+    trainer = Stage2Trainer(
+        model=model, loss_obj=EOConsistencyLoss(pixel_weight=1.0),
+        cfg=cfg, max_steps=1, log_every=0, seed=0,
+    )
+    state = trainer.init_state()
+
+    raw = _raw_batch(b=8, h=32, w=32, c=12, seed=5)
+    host_c = deterministic_modality_collate(
+        "S2L2A", target_size=(32, 32), mode="eval",
+    )
+    dev_c = deterministic_modality_collate(
+        "S2L2A", target_size=(32, 32), mode="eval", device_prep=True,
+    )
+    import jax
+
+    # Pin the trainer key: the eval step samples the posterior, so both
+    # validates must consume the identical rng to be comparable.
+    trainer._key = jax.random.PRNGKey(42)
+    logs_host = trainer.validate(state, iter([host_c({"S2L2A": raw})]))
+    trainer._key = jax.random.PRNGKey(42)
+    logs_dev = trainer.validate(state, iter([dev_c({"S2L2A": raw})]))
+    assert logs_host.keys() == logs_dev.keys()
+    for k in logs_host:
+        assert logs_host[k] == pytest.approx(logs_dev[k], rel=1e-5), k
+
+
+def test_native_dtype_decode_survives_to_trainer_input(tmp_path):
+    """decode_dtype=None (what TerraMeshPipeline sets when device_prep is
+    on) must keep the stored int16 through reader -> collate: that is the
+    half-bytes H2D transfer the mode exists for."""
+    from _zarr_helpers import write_terramesh_shard
+
+    from eovax.data.terramesh import build_terramesh_dataset
+
+    g = np.random.default_rng(11)
+    shard = tmp_path / "majortom_shard_000001.tar"
+    samples = [
+        {"bands": g.integers(0, 4000, (1, 12, 16, 16)).astype("<i2"), "time": 0}
+        for _ in range(4)
+    ]
+    write_terramesh_shard(str(shard), samples, compressor="lz4")
+
+    raw = next(
+        build_terramesh_dataset(
+            str(tmp_path), "S2L2A", urls=[str(shard)], batch_size=4,
+            decode_dtype=None,
+        )
+    )
+    assert raw["image"].dtype == np.int16
+
+    collate = deterministic_modality_collate(
+        "S2L2A", target_size=(16, 16), mode="train", seed=0, device_prep=True,
+    )
+    batch = collate(raw)
+    assert batch["image"].dtype == np.int16  # no host fp32 pass anywhere
+    # Default (host-collate) decode stays fp32 for numpy normalize.
+    raw32 = next(
+        build_terramesh_dataset(str(tmp_path), "S2L2A", urls=[str(shard)],
+                                batch_size=4)
+    )
+    assert raw32["image"].dtype == np.float32

@@ -2,7 +2,11 @@
 
 distill stems → finetune the VAE → bulk-encode latents (+ stats.json) →
 train the latent-SR diffusion model → evaluate SR metrics. Exercises every
-stage boundary contract (checkpoint formats, latent schema, stats files).
+stage boundary contract (checkpoint formats, latent schema, stats files)
+AND asserts each stage *learns* through the composed chain (VERDICT r4
+item #5): stage-1 stem weight error below threshold vs the synthetic
+teacher, stage-2 loss decreasing on the distilled model, and stage-3
+sampling val_mse after fitting below the untrained denoiser's.
 """
 
 import json
@@ -50,24 +54,43 @@ def test_three_stage_pipeline(tmp_path):
     model = EOFluxVAE(CFG, seed=0)
     model.variables, logs = run_distillation(
         model.core, model.variables, teacher,
-        DistillConfig(max_steps=40, lr=3e-3),
+        DistillConfig(max_steps=300, lr=3e-3),
     )
-    assert np.isfinite(logs["total_loss"])
+    # Learning assertion: the generated stems must actually approximate the
+    # teacher (unit-test threshold 0.05 at 400 steps; slightly looser here).
+    assert float(logs["enc_weight_mae"]) < 0.08, dict(logs)
+    assert float(logs["dec_weight_mae"]) < 0.08, dict(logs)
 
-    # ---- Stage 2: a few finetune steps --------------------------------------
+    # ---- Stage 2: finetune steps on the distilled model ---------------------
+    import jax
+
+    from eovax.parallel.mesh import shard_batch
+
     trainer = Stage2Trainer(
         model=model, loss_obj=EOConsistencyLoss(pixel_weight=1.0),
-        cfg=CFG, max_steps=3, log_every=0, seed=0,
+        cfg=CFG, max_steps=8, log_every=0, seed=0,
     )
-
-    def batches(n, bs=4):
-        for i in range(n):
-            yield {
-                "image": g.standard_normal((bs, 32, 32, 4)).astype(np.float32),
-                "wvs": SEN2NAIP_WVS,
-            }
-
-    state = trainer.fit(batches(3))
+    # Overfit one repeated batch through the real trainer step: the loss
+    # must drop — proves the distilled-stem model trains, not just runs.
+    # Batch 8 = genuinely sharded on the virtual 8-device mesh (batch 4
+    # would hit shard_batch's replication fallback and warn).
+    batch = {
+        "image": g.standard_normal((8, 32, 32, 4)).astype(np.float32),
+        "wvs": SEN2NAIP_WVS,
+    }
+    state = trainer.init_state()
+    fn = trainer._jitted("train", None, None)
+    losses = []
+    for _ in range(8):
+        sharded = shard_batch(
+            {"image": batch["image"], "wvs": batch["wvs"]}, trainer.mesh
+        )
+        state, step_logs = fn(
+            state, sharded["image"], sharded["wvs"],
+            jax.random.PRNGKey(int(state.step)),
+        )
+        losses.append(float(step_logs["train/loss_total"]))
+    assert losses[-1] < losses[0], losses
     model.variables = trainer.export_variables(state)
     model._jit_cache.clear()
 
@@ -110,10 +133,22 @@ def test_three_stage_pipeline(tmp_path):
         denoiser=denoiser, init_params=params, sampler_steps=4,
         base_lr=1e-3, log_every=0,
     )
+    val_ds_for_mse = Sen2NaipCrossSensorLatent(str(latent_root), "val")
+
+    def val_mse(state):
+        return sr_trainer.validate(
+            state, val_ds_for_mse.batches(2), max_batches=1
+        )["val_mse"]
+
+    mse_untrained = val_mse(sr_trainer.init_state())
     sr_state = sr_trainer.fit(
-        train_ds.batches(2, shuffle=True, repeat=True), max_steps=3
+        train_ds.batches(2, shuffle=True, repeat=True), max_steps=60
     )
-    assert int(sr_state.step) == 3
+    assert int(sr_state.step) == 60
+    mse_trained = val_mse(sr_state)
+    # Learning assertion: sampling quality through the composed pipeline
+    # (stage-2 latents → stage-3 denoiser) improves over the untrained net.
+    assert mse_trained < mse_untrained, (mse_trained, mse_untrained)
 
     # ---- Stage 3c: SR evaluation -------------------------------------------
     from eovax.cli.eval_metric_super_res import evaluate_sr
