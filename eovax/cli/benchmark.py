@@ -236,46 +236,22 @@ def _bench_all(args) -> None:
     rng = np.random.default_rng(0)
     ledger: dict = {"mode": "all", "methodology": "fori_loop slope, min-of-2"}
 
-    # NOTE every timed loop below passes its big operands (param trees,
-    # images) as jit ARGUMENTS (via functools.partial), never as closures:
-    # closed-over arrays are serialized into the remote-compile request
-    # body, and past ~400 MB the compile service rejects it with HTTP 413
-    # (see scripts/ablate_train.py, same rule).
-    def slope_ms(loop, x0, lo=LO, hi=HI):
-        def run(n):
-            t0 = time.perf_counter()
-            y = loop(x0, n)
-            leaf = jax.tree_util.tree_leaves(y)[0]
-            float(jnp.sum(jnp.ravel(leaf)[:1]))
-            return time.perf_counter() - t0
+    # Shared slope-method timer (HTTP-413 closure rule and the warm/min
+    # protocol live there — change the methodology in ONE place).
+    from eovax.utils.slopetime import random_variables
+    from eovax.utils.slopetime import slope_ms as _slope_ms
 
-        for n in (lo, hi):
-            run(n)  # compile
-            run(n)  # warm (deferred autotune)
-        t_lo = min(run(lo), run(lo))
-        t_hi = min(run(hi), run(hi))
-        return (t_hi - t_lo) / (hi - lo) * 1e3
+    def slope_ms(loop, x0, lo=LO, hi=HI):
+        return _slope_ms(loop, x0, lo, hi)
 
     def host_variables(core, x, wvs):
-        shapes = jax.eval_shape(
+        return random_variables(
             lambda: core.init(
                 jax.random.PRNGKey(0), x, wvs, sample_posterior=False,
                 method=EOVAECore.forward,
-            )
-        )
-        variables = jax.tree_util.tree_map(
-            lambda s: jnp.asarray(
-                rng.normal(0, 0.02, size=s.shape).astype(np.dtype(s.dtype))
             ),
-            shapes,
+            rng,
         )
-        variables["batch_stats"]["bn"]["mean"] = jnp.zeros_like(
-            variables["batch_stats"]["bn"]["mean"]
-        )
-        variables["batch_stats"]["bn"]["var"] = jnp.ones_like(
-            variables["batch_stats"]["bn"]["var"]
-        )
-        return variables
 
     stem = StemConfig(num_layers=4, wv_planes=256)
     wvs = jnp.asarray(wavelengths_for("S2L2A"))

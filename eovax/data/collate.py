@@ -37,14 +37,14 @@ def apply_batch_augmentations(
     return np.ascontiguousarray(images)
 
 
-def _roll_d4(rng: random.Random | None, square: bool) -> np.ndarray:
+def _roll_d4(rng: random.Random | None) -> np.ndarray:
     """One (flip_h, flip_v, rot_k) draw — SAME rng consumption order as
     apply_batch_augmentations so host and device paths share the stream."""
     r = rng or random
     fh = int(r.random() > 0.5)
     fv = int(r.random() > 0.5)
     k = r.randint(0, 3)
-    return np.asarray([fh, fv, k if square else 0], np.int32)
+    return np.asarray([fh, fv, k], np.int32)
 
 
 def _prepare(
@@ -65,19 +65,45 @@ def _prepare(
         # Emit the raw decoded batch + tiny descriptors; normalize and D4
         # run on-device (eovax.data.device_prep — measured 11 ms/img of
         # single-core numpy moved to ~100 µs of HBM traffic per batch).
-        if target_size is not None and x.shape[1:3] != tuple(target_size):
-            x = resize_nhwc(
-                np.asarray(x, np.float32), tuple(target_size), mode="bilinear"
-            )
-        n = make_normalizer(modality, norm_scheme)
-        clip = n.clip if n.clip is not None else (-np.inf, np.inf)
-        if not normalize:
+        needs_resize = (
+            target_size is not None and x.shape[1:3] != tuple(target_size)
+        )
+        if needs_resize:
+            # The host path clips+normalizes BEFORE resize and the clip
+            # does not commute with bilinear interpolation — so when a
+            # resize is needed, normalize here (host order) and ship
+            # identity descriptors. Only D4 stays on device.
+            x = np.asarray(x, np.float32)
+            if normalize:
+                x = make_normalizer(modality, norm_scheme)(x)
+            x = resize_nhwc(x, tuple(target_size), mode="bilinear")
             mean = np.zeros(x.shape[-1], np.float32)
             std = np.ones(x.shape[-1], np.float32)
             clip = (-np.inf, np.inf)
         else:
-            mean, std = n.mean, n.std + n.eps
-        square = x.shape[1] == x.shape[2]
+            n = make_normalizer(modality, norm_scheme)
+            clip = n.clip if n.clip is not None else (-np.inf, np.inf)
+            if not normalize:
+                mean = np.zeros(x.shape[-1], np.float32)
+                std = np.ones(x.shape[-1], np.float32)
+                clip = (-np.inf, np.inf)
+            else:
+                mean, std = n.mean, n.std + n.eps
+        d4 = np.zeros((x.shape[0], 3), np.int32)
+        if train:
+            if x.shape[1] == x.shape[2]:
+                # Per-sample rows all carry this batch's single draw — the
+                # [B,3] shape exists so the leaf shards along the batch
+                # axis on multi-host pods (each host's samples keep that
+                # host's draw; global_batch_from_local rejects 1-D leaves).
+                d4 = np.tile(_roll_d4(rng), (x.shape[0], 1))
+            else:
+                # rot90 on a non-square batch changes the static shape —
+                # impossible inside the step jit. Apply the host D4 here
+                # (flips/rot commute exactly with the per-channel
+                # normalize, so device-side normalize stays valid) and
+                # ship the identity draw.
+                x = apply_batch_augmentations(x, rng)
         return {
             "image": x,
             "wvs": np.asarray(WAVELENGTHS[modality], np.float32),
@@ -85,7 +111,7 @@ def _prepare(
             "norm_mean": np.asarray(mean, np.float32),
             "norm_std": np.asarray(std, np.float32),
             "norm_clip": np.asarray(clip, np.float32),
-            "d4": _roll_d4(rng, square) if train else np.zeros(3, np.int32),
+            "d4": d4,
         }
     x = np.asarray(x, np.float32)
     if normalize:

@@ -47,17 +47,41 @@ def device_prepare(
       norm_clip: [2] fp32 ``(lo, hi)`` — ``(-inf, +inf)`` disables the clip
         branchlessly ('legacy' scheme; 'custom' clips to [0, 10000],
         terramesh_datamodule.py:144-257).
-      d4: [3] int32 ``(flip_h, flip_v, rot_k)``; rot90 requires H == W
-        (the collate only rolls k != 0 for square batches).
+      d4: int32 ``(flip_h, flip_v, rot_k)`` draws. Shape [B,3] = one draw
+        PER SAMPLE — the production form: it shards along the batch axis
+        like the image, so on a multi-host pod each host's local samples
+        keep that host's collate draw (exact host-path semantics; every op
+        below is per-sample, so the batch sharding flows through with no
+        collectives). Shape [3] = one draw for the whole batch (cheaper:
+        true branches instead of selects; single-host only). rot90
+        requires H == W — the collate host-augments non-square batches.
     """
     x = image.astype(jnp.float32)
     x = jnp.clip(x, norm_clip[0], norm_clip[1])
     x = (x - norm_mean) * (1.0 / norm_std)
     # D4 augment (terramesh_datamodule.py:347-369, same op order as
     # eovax.data.collate.apply_batch_augmentations: H-flip, V-flip, rot k).
+    square = x.shape[1] == x.shape[2]
+    if d4.ndim == 2:  # per-sample draws: batched selects
+        fh = d4[:, 0][:, None, None, None]
+        fv = d4[:, 1][:, None, None, None]
+        x = jnp.where(fh == 1, x[:, :, ::-1], x)
+        x = jnp.where(fv == 1, x[:, ::-1], x)
+        if square:
+            k = d4[:, 2][:, None, None, None]
+            # All three rotations materialize (3 extra HBM passes,
+            # ~100 µs/50 MB batch) — the price of per-sample selection.
+            x = jnp.where(
+                k == 1, jnp.rot90(x, 1, axes=(1, 2)),
+                jnp.where(
+                    k == 2, jnp.rot90(x, 2, axes=(1, 2)),
+                    jnp.where(k == 3, jnp.rot90(x, 3, axes=(1, 2)), x),
+                ),
+            )
+        return x
     x = jax.lax.cond(d4[0] == 1, lambda t: t[:, :, ::-1], lambda t: t, x)
     x = jax.lax.cond(d4[1] == 1, lambda t: t[:, ::-1], lambda t: t, x)
-    if x.shape[1] == x.shape[2]:  # rot90 is shape-preserving only when square
+    if square:  # rot90 is shape-preserving only when square
         x = jax.lax.switch(
             d4[2],
             [

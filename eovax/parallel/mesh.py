@@ -145,7 +145,10 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
 
 #: leaf names that are per-modality constants, identical on every host
 #: (NOT per-sample data) — assembled replicated in multi-host batches.
-REPLICATED_BATCH_KEYS = ("wvs",)
+#: norm_* are the device_prep collate's normalization descriptors
+#: (eovax/data/device_prep.py); its per-host d4 draw is NOT here — the
+#: collate ships it per-sample as [B,3] so it shards like the image.
+REPLICATED_BATCH_KEYS = ("wvs", "norm_mean", "norm_std", "norm_clip")
 
 
 def global_batch_from_local(

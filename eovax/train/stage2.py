@@ -631,7 +631,13 @@ class Stage2Trainer:
                     if isinstance(img, tuple):
                         # device_prep mode: materialize the prepared batch
                         # once for the logging grid (val batch 0 only).
-                        img = jax.jit(_resolve_image)(img)
+                        # Cached: a fresh jax.jit wrapper per validate
+                        # would recompile every pass.
+                        resolve = self._jit_cache.get("resolve")
+                        if resolve is None:
+                            resolve = jax.jit(_resolve_image)
+                            self._jit_cache["resolve"] = resolve
+                        img = resolve(img)
                     self.image_logger.log(
                         local_numpy(img),
                         local_numpy(recon),

@@ -73,60 +73,28 @@ def main() -> None:
     results: dict[str, float] = {}
     gflops: dict[str, float] = {}
 
+    from eovax.utils.slopetime import random_variables
+    from eovax.utils.slopetime import chained_ms as _chained_ms
+    from eovax.utils.slopetime import scalar_chained_ms as _scalar_chained_ms
+    from eovax.utils.slopetime import slope_ms as _slope_ms
+
     def host_vars(module, *xs):
-        shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *xs))
-        return jax.tree_util.tree_map(
-            lambda s: jnp.asarray(
-                rng.normal(0, 0.02, size=s.shape).astype(np.dtype(s.dtype))
-            ),
-            shapes,
+        return random_variables(
+            lambda: module.init(jax.random.PRNGKey(0), *xs), rng
         )
 
     def rand(shape, dtype=jnp.bfloat16):
         return jnp.asarray(rng.standard_normal(shape, dtype=np.float32)).astype(dtype)
 
-    # ---- slope-method timers --------------------------------------------
+    # ---- slope-method timers (shared impl: eovax/utils/slopetime.py) ----
     def slope_ms(loop, x0, iters=ITERS):
-        def run(n):
-            t0 = time.perf_counter()
-            y = loop(x0, n)
-            leaf = jax.tree_util.tree_leaves(y)[0]
-            float(jnp.sum(jnp.ravel(leaf)[0]))
-            return time.perf_counter() - t0
-
-        for n in (iters, 3 * iters):
-            run(n)  # compile
-            run(n)  # warm
-        t1 = min(run(iters), run(iters))
-        t3 = min(run(3 * iters), run(3 * iters))
-        return (t3 - t1) / (2 * iters) * 1000.0
+        return _slope_ms(loop, x0, lo=iters, hi=3 * iters)
 
     def chained_ms(fn, x0, consts=None, iters=ITERS):
-        """fn: (consts, x) → same-shaped x (already bounded, e.g. tanh'd).
-
-        Big operands (param trees, images) must ride in ``consts`` — a jit
-        argument — NOT in fn's closure: closed-over arrays are serialized
-        into the remote-compile request body, and past ~400 MB the compile
-        service rejects it with HTTP 413."""
-
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def loop(c, x, n):
-            return jax.lax.fori_loop(0, n, lambda _, y: fn(c, y), x)
-
-        return slope_ms(functools.partial(loop, consts), x0, iters)
+        return _chained_ms(fn, x0, consts, lo=iters, hi=3 * iters)
 
     def scalar_chained_ms(fn_scalar, consts=None, iters=ITERS):
-        """fn_scalar: (consts, s f32 scalar) → f32 scalar (must depend on
-        the full computation — reduce everything into it). Same HTTP-413
-        rule as chained_ms: big operands go in ``consts``."""
-
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def loop(c, s, n):
-            return jax.lax.fori_loop(0, n, lambda _, y: fn_scalar(c, y), s)
-
-        return slope_ms(
-            functools.partial(loop, consts), jnp.zeros((), jnp.float32), iters
-        )
+        return _scalar_chained_ms(fn_scalar, consts, lo=iters, hi=3 * iters)
 
     def tree_scalar(tree):
         return sum(

@@ -46,20 +46,11 @@ def main() -> None:
     rng = np.random.default_rng(0)
     results: dict[str, float] = {}
 
-    def slope_ms(loop, x0, iters=ITERS):
-        def run(n):
-            t0 = time.perf_counter()
-            y = loop(x0, n)
-            leaf = jax.tree_util.tree_leaves(y)[0]
-            float(jnp.sum(jnp.ravel(leaf)[0]))
-            return time.perf_counter() - t0
+    from eovax.utils.slopetime import slope_ms as _slope_ms
 
-        for n in (iters, 3 * iters):
-            run(n)
-            run(n)
-        t1 = min(run(iters), run(iters))
-        t3 = min(run(3 * iters), run(3 * iters))
-        return (t3 - t1) / (2 * iters) * 1000.0
+    def slope_ms(loop, x0, iters=ITERS):
+        # Shared impl: eovax/utils/slopetime.py (the one methodology).
+        return _slope_ms(loop, x0, lo=iters, hi=3 * iters)
 
     wvs = jnp.asarray(wavelengths_for("S2L2A"))
     image = jnp.asarray(rng.standard_normal((B, 256, 256, 12), dtype=np.float32))

@@ -39,7 +39,7 @@ def test_device_prepare_matches_host_normalize_and_d4(scheme):
     # Device path: same draw from the same stream via the collate's roller.
     from eovax.data.collate import _roll_d4
 
-    d4 = _roll_d4(dev_rng, square=True)
+    d4 = _roll_d4(dev_rng)
     n = make_normalizer("S2L2A", scheme)
     clip = n.clip if n.clip is not None else (-np.inf, np.inf)
     dev = np.asarray(
@@ -96,11 +96,14 @@ def test_collate_device_prep_emits_descriptors_and_skips_host_work():
     assert out["norm_mean"].shape == (12,)
     assert out["norm_std"].shape == (12,)
     assert out["norm_clip"].shape == (2,)
-    assert out["d4"].shape == (3,) and out["d4"].dtype == np.int32
+    # [B,3]: per-sample rows so the leaf shards along batch on pods;
+    # within one host's batch every row carries the same draw.
+    assert out["d4"].shape == (4, 3) and out["d4"].dtype == np.int32
+    assert (out["d4"] == out["d4"][0]).all()
     # Same RNG stream as the host path: seed 3 must give the same draw.
-    assert tuple(out["d4"]) == tuple(
+    assert tuple(out["d4"][0]) == tuple(
         __import__("eovax.data.collate", fromlist=["_roll_d4"])._roll_d4(
-            random.Random(3), True
+            random.Random(3)
         )
     )
 
@@ -111,17 +114,92 @@ def test_collate_device_prep_eval_mode_identity_d4():
         "S2L2A", target_size=(32, 32), mode="eval", device_prep=True,
     )
     out = collate({"S2L2A": raw})
-    assert tuple(out["d4"]) == (0, 0, 0)
+    assert out["d4"].shape == (2, 3) and not out["d4"].any()
 
 
-def test_collate_device_prep_nonsquare_never_rolls_rot():
+def test_collate_device_prep_nonsquare_host_augments_exactly():
+    """Non-square batches can't rot90 inside the jit (static shapes) — the
+    collate must host-augment them with the SAME rng stream the host path
+    uses, and ship the identity d4."""
     raw = _raw_batch(b=2, h=16, w=32, c=12)
-    collate = single_modality_collate(
+    dev_c = single_modality_collate(
         ["S2L2A"], target_size=None, mode="train", seed=0, device_prep=True,
     )
-    for _ in range(20):
-        out = collate({"S2L2A": raw})
-        assert out["d4"][2] == 0
+    host_c = single_modality_collate(
+        ["S2L2A"], target_size=None, mode="train", seed=0,
+    )
+    saw_rot = False
+    for _ in range(8):
+        out = dev_c({"S2L2A": raw})
+        ref = host_c({"S2L2A": raw})
+        assert not out["d4"].any()
+        # Same augmented geometry as the host path (rot90 may swap H/W)…
+        assert out["image"].shape == ref["image"].shape
+        saw_rot = saw_rot or out["image"].shape[1:3] == (32, 16)
+        # …and device normalize-after-augment equals host normalize-before.
+        dev = np.asarray(
+            device_prepare(
+                jnp.asarray(out["image"]),
+                jnp.asarray(out["norm_mean"]),
+                jnp.asarray(out["norm_std"]),
+                jnp.asarray(out["norm_clip"]),
+                jnp.asarray(out["d4"]),
+            )
+        )
+        np.testing.assert_allclose(dev, ref["image"], rtol=1e-6, atol=1e-6)
+    assert saw_rot  # 8 draws at k∈{1,3} p=1/2 each: miss chance 2^-8
+
+
+def test_collate_device_prep_resize_matches_host_exactly():
+    """Clip does not commute with bilinear resize — when a resize happens
+    the collate must normalize on host (host order) and ship identity
+    descriptors. 'custom' scheme clips to [0, 10000]; values above make
+    the two orders diverge if mishandled."""
+    g = np.random.default_rng(4)
+    raw = g.integers(0, 16000, (2, 16, 16, 12)).astype(np.int16)
+    dev_c = deterministic_modality_collate(
+        "S2L2A", norm_scheme="custom", target_size=(32, 32), mode="eval",
+        device_prep=True,
+    )
+    host_c = deterministic_modality_collate(
+        "S2L2A", norm_scheme="custom", target_size=(32, 32), mode="eval",
+    )
+    out = dev_c({"S2L2A": raw})
+    ref = host_c({"S2L2A": raw})
+    assert out["image"].dtype == np.float32  # resize forces host fp32
+    np.testing.assert_array_equal(out["norm_mean"], np.zeros(12, np.float32))
+    np.testing.assert_array_equal(out["norm_std"], np.ones(12, np.float32))
+    dev = np.asarray(
+        device_prepare(
+            jnp.asarray(out["image"]), jnp.asarray(out["norm_mean"]),
+            jnp.asarray(out["norm_std"]), jnp.asarray(out["norm_clip"]),
+            jnp.asarray(out["d4"]),
+        )
+    )
+    np.testing.assert_allclose(dev, ref["image"], rtol=1e-6, atol=1e-6)
+
+
+def test_device_prepare_per_sample_d4_rows():
+    """[B,3] d4 with DIFFERENT rows (the multi-host case: each host's
+    samples carry that host's draw) applies each row independently."""
+    raw = _raw_batch(b=3, h=8, w=8, c=2, seed=9).astype(np.float32)
+    d4 = np.asarray([[0, 0, 0], [1, 0, 2], [0, 1, 3]], np.int32)
+    dev = np.asarray(
+        device_prepare(
+            jnp.asarray(raw),
+            jnp.zeros(2, jnp.float32), jnp.ones(2, jnp.float32),
+            jnp.asarray([-np.inf, np.inf], jnp.float32), jnp.asarray(d4),
+        )
+    )
+    for i, (fh, fv, k) in enumerate(d4):
+        host = raw[i:i + 1]
+        if fh:
+            host = host[:, :, ::-1]
+        if fv:
+            host = host[:, ::-1]
+        if k:
+            host = np.rot90(host, k, axes=(1, 2))
+        np.testing.assert_allclose(dev[i:i + 1], host, rtol=1e-6, atol=1e-6)
 
 
 def test_trainer_device_prep_batch_matches_host_prep_batch():
@@ -206,3 +284,25 @@ def test_native_dtype_decode_survives_to_trainer_input(tmp_path):
                                 batch_size=4)
     )
     assert raw32["image"].dtype == np.float32
+
+
+def test_device_prep_batch_assembles_multihost():
+    """global_batch_from_local must accept every leaf a device_prep collate
+    emits: norm_* descriptors replicate (REPLICATED_BATCH_KEYS), the [B,3]
+    d4 shards along batch like the image. Regression: 1-D descriptor
+    leaves used to raise ValueError, making device_prep unusable on pods."""
+    from eovax.parallel.mesh import global_batch_from_local, make_mesh
+
+    mesh = make_mesh()
+    collate = deterministic_modality_collate(
+        "S2L2A", target_size=(16, 16), mode="train", seed=0, device_prep=True,
+    )
+    batch = collate({"S2L2A": _raw_batch(b=8, h=16, w=16, c=12)})
+    batch.pop("modality")  # host-side routing key, not a device leaf
+    placed = global_batch_from_local(batch, mesh)
+    ndev = mesh.devices.size
+    assert placed["d4"].sharding.num_devices == ndev
+    assert len(placed["d4"].addressable_shards) == ndev
+    assert placed["d4"].addressable_shards[0].data.shape[0] == 8 // ndev
+    for k in ("norm_mean", "norm_std", "norm_clip", "wvs"):
+        assert placed[k].sharding.is_fully_replicated, k

@@ -99,13 +99,22 @@ def test_three_stage_pipeline(tmp_path):
     stats_lr = RunningStats((8,), (0, 1, 2))
     stats_hr = RunningStats((8,), (0, 1, 2))
     for split, n in (("train", 3), ("val", 1)):
+        # HR must be a FUNCTION of LR: with independent random pairs the
+        # optimal conditional predictor is the mean, and SR training can
+        # only move val_mse up — the learning assertion below would be
+        # unachievable by construction. Identity (plus the VAE round
+        # trip) gives a learnable conditional the val split shares.
+        lr_imgs = [
+            g.standard_normal((2, 32, 32, 4)).astype(np.float32)
+            for _ in range(n)
+        ]
         enc_batches = [
             {
-                "image_lr": g.standard_normal((2, 32, 32, 4)).astype(np.float32),
-                "image_hr": g.standard_normal((2, 32, 32, 4)).astype(np.float32),
+                "image_lr": lr,
+                "image_hr": lr,
                 "aoi": [f"{split}{i}a", f"{split}{i}b"],
             }
-            for i in range(n)
+            for i, lr in enumerate(lr_imgs)
         ]
         encode_split(
             model, iter(enc_batches), str(latent_root / split),
