@@ -29,7 +29,7 @@ import re
 import tarfile
 import threading
 import warnings
-from queue import Queue
+from queue import Empty, Full, Queue
 from typing import Any, Callable, Iterator
 
 import numpy as np
@@ -311,24 +311,53 @@ def _collate_stack(samples: list[dict]) -> dict:
 
 def _prefetch(iterator_factory: Callable[[], Iterator], depth: int) -> Iterator:
     """Background-thread prefetch: keeps the device fed while the host
-    decodes the next shard (replaces DataLoader worker processes)."""
+    decodes the next shard (replaces DataLoader worker processes).
+
+    Closable: when the consumer generator is closed (explicit ``.close()``
+    or GC after an early-stopped fit — preemption, max_steps) the producer
+    thread is told to stop and unblocked if it was waiting on a full
+    queue. Without this, every abandoned iterator leaked a live thread
+    pinning ``depth`` decoded batches of memory for the process lifetime."""
     q: Queue = Queue(maxsize=depth)
     _SENTINEL = object()
+    stop = threading.Event()
 
     def producer():
         try:
-            for item in iterator_factory():
-                q.put(item)
+            it = iterator_factory()
+            while not stop.is_set():
+                item = next(it, _SENTINEL)
+                if item is _SENTINEL:
+                    break
+                # Bounded put so a closed consumer can't strand us on a
+                # full queue; the 100 ms poll only spins while idle-full.
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except Full:
+                        continue
         finally:
-            q.put(_SENTINEL)
+            try:
+                q.put_nowait(_SENTINEL)
+            except Full:  # consumer is gone and will drain
+                pass
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a producer waiting on put()
+            try:
+                q.get_nowait()
+            except Empty:
+                break
 
 
 def _random_mix(

@@ -81,9 +81,11 @@ def reader(urls, threads, batch=BATCH, dtype=np.float32):
     )
 
 
-def rate_of(it, n_batches, warmup=2):
+def rate_of(it, n_batches, warmup=2, close=None):
     """Best of two timed segments (the first segment often pays cold page
-    cache / thread spin-up on this 1-core host)."""
+    cache / thread spin-up on this 1-core host). ``close`` (the underlying
+    reader) is closed afterwards so its prefetch producer cannot contend
+    with later sections on this 1-core host."""
     for _ in range(warmup):
         next(it)
     best = float("inf")
@@ -92,6 +94,7 @@ def rate_of(it, n_batches, warmup=2):
         for _ in range(n_batches):
             next(it)
         best = min(best, time.perf_counter() - t0)
+    (close or it).close()
     imgs = n_batches * BATCH
     return imgs / best, imgs * RAW_MB_PER_SAMPLE / best
 
@@ -128,7 +131,7 @@ def main() -> None:
     for threads in (1, 4):
         raw = reader(urls, threads)
         it = (collate(b) for b in raw)
-        imgs_s, mb_s = rate_of(it, args.read_batches)
+        imgs_s, mb_s = rate_of(it, args.read_batches, close=raw)
         results[f"reader_collate_{threads}thread_imgs_s"] = imgs_s
         print(f"reader+collate {threads} thread(s): {imgs_s:7.1f} imgs/s "
               f"({imgs_s * RAW_MB_PER_SAMPLE * 2:6.1f} MB/s fp32 out)",
@@ -143,7 +146,7 @@ def main() -> None:
         # sets decode_dtype=None whenever device_prep is on).
         raw = reader(urls, 1, dtype=None)
         it = (collate_dev(b) for b in raw)
-        imgs_s, _ = rate_of(it, args.read_batches)
+        imgs_s, _ = rate_of(it, args.read_batches, close=raw)
         results["reader_collate_deviceprep_1thread_imgs_s"] = imgs_s
         print(f"reader+collate[device_prep] 1 thread: {imgs_s:7.1f} imgs/s "
               f"(normalize+D4 moved to TPU, int16 end-to-end)", flush=True)
@@ -164,7 +167,9 @@ def main() -> None:
     from eovax.parallel.mesh import make_mesh, place_batch
 
     mesh = make_mesh()
-    batch0 = collate(next(reader(urls, 1)))
+    r0 = reader(urls, 1)
+    batch0 = collate(next(r0))
+    r0.close()
     nbytes = batch0["image"].nbytes
     for _ in range(2):  # warm
         jax.block_until_ready(
@@ -210,17 +215,31 @@ def main() -> None:
 
     def fit_time(batch_iter_factory, n_steps):
         trainer.max_steps = n_steps
+        it = batch_iter_factory()
         t0 = time.perf_counter()
-        state = trainer.fit(batch_iter_factory())
-        jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+        state = trainer.fit(it)
+        # A VALUE fetch, not block_until_ready: the tunnel client has been
+        # seen returning early from block_until_ready even on dependent
+        # dispatch chains (round-4 probe) — a float() cannot lie.
+        float(np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0])
+        dt = time.perf_counter() - t0
         assert int(state.step) == n_steps
-        return time.perf_counter() - t0
+        close = getattr(it, "close", None)
+        if close:
+            close()
+        return dt
 
     short, long_ = 5, 5 + args.steps
 
+    def _collated(raw, c):
+        try:
+            for b in raw:
+                yield c(b)
+        finally:
+            raw.close()
+
     def disk_iter():
-        raw = reader(urls, 1)
-        return (collate(b) for b in raw)
+        return _collated(reader(urls, 1), collate)
 
     # Pre-collated batches cycled from memory (the feed-free upper bound).
     mem_batches = []
@@ -235,8 +254,7 @@ def main() -> None:
         return itertools.cycle(mem_batches)
 
     def disk_iter_dev():
-        raw = reader(urls, 1, dtype=None)
-        return (collate_dev(b) for b in raw)
+        return _collated(reader(urls, 1, dtype=None), collate_dev)
 
     sources = [("memory_fed", mem_iter), ("disk_fed_1thread", disk_iter)]
     if args.device_prep:

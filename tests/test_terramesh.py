@@ -277,3 +277,39 @@ def test_empty_shard_assignment_terminates(tmp_path):
         )
         assert list(it) == []
     assert any("No shards assigned" in str(w.message) for w in caught)
+
+
+def test_prefetch_close_stops_producer_thread(tmp_path):
+    """Closing an abandoned reader (early-stopped fit: preemption,
+    max_steps) must terminate the prefetch producer thread — it used to
+    stay blocked on the full queue forever, pinning decoded batches."""
+    import threading
+    import time as _time
+
+    from tests._zarr_helpers import write_terramesh_shard
+
+    from eovax.data.terramesh import build_terramesh_dataset
+
+    g = np.random.default_rng(2)
+    shard = tmp_path / "majortom_shard_000001.tar"
+    samples = [
+        {"bands": g.integers(0, 100, (1, 3, 8, 8)).astype("<i2"), "time": 0}
+        for _ in range(16)
+    ]
+    write_terramesh_shard(str(shard), samples, compressor="lz4")
+
+    before = set(threading.enumerate())
+    it = build_terramesh_dataset(
+        str(tmp_path), "S2RGB", urls=[str(shard)], batch_size=2,
+        repeat=True, prefetch_depth=2,
+    )
+    next(it)  # reader live: producer spun up and the queue fills
+    spawned = [t for t in threading.enumerate() if t not in before]
+    assert spawned, "prefetch produced no background thread?"
+    it.close()
+    deadline = _time.time() + 5.0
+    while any(t.is_alive() for t in spawned) and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert not any(t.is_alive() for t in spawned), (
+        "producer thread still alive after close()"
+    )
