@@ -89,28 +89,35 @@ def _prepare(
                 clip = (-np.inf, np.inf)
             else:
                 mean, std = n.mean, n.std + n.eps
-        d4 = np.zeros((x.shape[0], 3), np.int32)
+        b = x.shape[0]
+        d4 = np.zeros((b, 3), np.int32)
         if train:
-            if x.shape[1] == x.shape[2]:
-                # Per-sample rows all carry this batch's single draw — the
-                # [B,3] shape exists so the leaf shards along the batch
-                # axis on multi-host pods (each host's samples keep that
-                # host's draw; global_batch_from_local rejects 1-D leaves).
-                d4 = np.tile(_roll_d4(rng), (x.shape[0], 1))
-            else:
-                # rot90 on a non-square batch changes the static shape —
-                # impossible inside the step jit. Apply the host D4 here
-                # (flips/rot commute exactly with the per-channel
-                # normalize, so device-side normalize stays valid) and
-                # ship the identity draw.
-                x = apply_batch_augmentations(x, rng)
+            roll = _roll_d4(rng)
+            if x.shape[1] != x.shape[2] and roll[2] % 2:
+                # Non-square: odd rotations change the static shape —
+                # impossible inside the step jit, and they would desync
+                # local batch shapes across pod hosts. Fold the draw onto
+                # the shape-preserving subgroup (1→2, 3→0; same rng
+                # consumption; flips + rot180 still apply on device).
+                roll[2] = (roll[2] + 1) % 4
+            # Per-sample rows all carry this batch's single draw — the
+            # [B,3] shape exists so the leaf shards along the batch axis
+            # on multi-host pods (each host's samples keep that host's
+            # draw; replicated leaves must be host-invariant, which
+            # per-host draws are not).
+            d4 = np.tile(roll, (b, 1))
+        # Descriptors are ALSO per-sample ([B,C]/[B,2], ~2 KB per step):
+        # a batch that resized ships identity normalization while another
+        # host's (or a later batch of the same modality) ships the real
+        # one — per-sample descriptors make that unconditionally correct,
+        # with no host-invariance or cacheable-per-modality assumption.
         return {
             "image": x,
             "wvs": np.asarray(WAVELENGTHS[modality], np.float32),
             "modality": modality,
-            "norm_mean": np.asarray(mean, np.float32),
-            "norm_std": np.asarray(std, np.float32),
-            "norm_clip": np.asarray(clip, np.float32),
+            "norm_mean": np.tile(np.asarray(mean, np.float32), (b, 1)),
+            "norm_std": np.tile(np.asarray(std, np.float32), (b, 1)),
+            "norm_clip": np.tile(np.asarray(clip, np.float32), (b, 1)),
             "d4": d4,
         }
     x = np.asarray(x, np.float32)

@@ -16,11 +16,21 @@ normalize folds into the first stem conv, the op runs sharded on the batch
 axis like every other step input, and the raw int16 H2D transfer is half
 the bytes of a host-collated fp32 batch.
 
+Every descriptor is PER-SAMPLE ([B,C] mean/std, [B,2] clip, [B,3] d4):
+they shard along the batch axis exactly like the image, so on a multi-host
+pod each host's samples carry that host's own values with no
+"host-invariant" assumption to violate (a batch that needed a host-side
+resize ships identity normalization while another host's ships the real
+one — both correct). The cost is ~2 KB per step of extra H2D.
+
 Semantics match the host path exactly (tests/test_device_prep.py):
 ``clip → (x - mean) / std → D4`` where std already includes the legacy
 ``+1e-8`` epsilon, and the D4 draw (flip_h, flip_v, rot_k) is rolled by
 the collate's RNG per batch — randomness stays owned by the data pipeline,
-identical stream to the host path.
+identical stream to the host path. One documented deviation: non-square
+batches draw from the shape-preserving D4 subgroup (flips + rot180; odd
+rotations would change the static shape inside the jit and desync local
+batch shapes across pod hosts).
 """
 
 from __future__ import annotations
@@ -36,29 +46,42 @@ def device_prepare(
     norm_mean: jax.Array,
     norm_std: jax.Array,
     norm_clip: jax.Array,
-    d4: jax.Array,
+    d4: jax.Array | None = None,
 ) -> jax.Array:
     """Normalize + D4-augment one NHWC batch on device.
 
     Args:
       image: [B,H,W,C] raw decoded values (any real dtype; cast to fp32).
-      norm_mean / norm_std: [C] fp32. ``norm_std`` already contains any
-        epsilon (legacy scheme ships ``std + 1e-8``).
-      norm_clip: [2] fp32 ``(lo, hi)`` — ``(-inf, +inf)`` disables the clip
-        branchlessly ('legacy' scheme; 'custom' clips to [0, 10000],
-        terramesh_datamodule.py:144-257).
-      d4: int32 ``(flip_h, flip_v, rot_k)`` draws. Shape [B,3] = one draw
-        PER SAMPLE — the production form: it shards along the batch axis
-        like the image, so on a multi-host pod each host's local samples
-        keep that host's collate draw (exact host-path semantics; every op
-        below is per-sample, so the batch sharding flows through with no
-        collectives). Shape [3] = one draw for the whole batch (cheaper:
-        true branches instead of selects; single-host only). rot90
-        requires H == W — the collate host-augments non-square batches.
+      norm_mean / norm_std: [C] fp32, or per-sample [B,C] (the collate's
+        production form — shards along batch). ``norm_std`` already
+        contains any epsilon (legacy scheme ships ``std + 1e-8``).
+      norm_clip: [2] fp32 ``(lo, hi)`` or per-sample [B,2] — ``(-inf,
+        +inf)`` disables the clip branchlessly ('legacy' scheme; 'custom'
+        clips to [0, 10000], terramesh_datamodule.py:144-257).
+      d4: int32 ``(flip_h, flip_v, rot_k)`` draws, or None to skip the
+        augment stage entirely (eval batches / identity rolls — the
+        trainer omits the leaf when the draw is all-zero, saving ~6
+        full-batch HBM passes of select traffic). Shape [B,3] = one draw
+        PER SAMPLE: shards along batch like the image, so on a pod each
+        host's samples keep that host's collate draw; every op below is
+        per-sample, so the sharding flows through with no collectives.
+        Shape [3] = one draw for the whole batch (cheaper: true branches
+        instead of selects; single-host only). Odd rotations require
+        H == W (the collate only draws the shape-preserving subgroup for
+        non-square batches).
     """
     x = image.astype(jnp.float32)
-    x = jnp.clip(x, norm_clip[0], norm_clip[1])
-    x = (x - norm_mean) * (1.0 / norm_std)
+    if norm_clip.ndim == 2:  # per-sample [B,2]
+        lo = norm_clip[:, 0][:, None, None, None]
+        hi = norm_clip[:, 1][:, None, None, None]
+    else:
+        lo, hi = norm_clip[0], norm_clip[1]
+    x = jnp.clip(x, lo, hi)
+    mean = norm_mean[:, None, None, :] if norm_mean.ndim == 2 else norm_mean
+    std = norm_std[:, None, None, :] if norm_std.ndim == 2 else norm_std
+    x = (x - mean) * (1.0 / std)
+    if d4 is None:
+        return x
     # D4 augment (terramesh_datamodule.py:347-369, same op order as
     # eovax.data.collate.apply_batch_augmentations: H-flip, V-flip, rot k).
     square = x.shape[1] == x.shape[2]
@@ -67,8 +90,8 @@ def device_prepare(
         fv = d4[:, 1][:, None, None, None]
         x = jnp.where(fh == 1, x[:, :, ::-1], x)
         x = jnp.where(fv == 1, x[:, ::-1], x)
+        k = d4[:, 2][:, None, None, None]
         if square:
-            k = d4[:, 2][:, None, None, None]
             # All three rotations materialize (3 extra HBM passes,
             # ~100 µs/50 MB batch) — the price of per-sample selection.
             x = jnp.where(
@@ -78,10 +101,12 @@ def device_prepare(
                     jnp.where(k == 3, jnp.rot90(x, 3, axes=(1, 2)), x),
                 ),
             )
+        else:  # shape-preserving subgroup: k ∈ {0, 2} only
+            x = jnp.where(k == 2, jnp.rot90(x, 2, axes=(1, 2)), x)
         return x
     x = jax.lax.cond(d4[0] == 1, lambda t: t[:, :, ::-1], lambda t: t, x)
     x = jax.lax.cond(d4[1] == 1, lambda t: t[:, ::-1], lambda t: t, x)
-    if square:  # rot90 is shape-preserving only when square
+    if square:
         x = jax.lax.switch(
             d4[2],
             [
@@ -91,5 +116,9 @@ def device_prepare(
                 lambda t: jnp.rot90(t, 3, axes=(1, 2)),
             ],
             x,
+        )
+    else:
+        x = jax.lax.cond(
+            d4[2] == 2, lambda t: jnp.rot90(t, 2, axes=(1, 2)), lambda t: t, x
         )
     return x

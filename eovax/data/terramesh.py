@@ -338,10 +338,15 @@ def _prefetch(iterator_factory: Callable[[], Iterator], depth: int) -> Iterator:
                     except Full:
                         continue
         finally:
-            try:
-                q.put_nowait(_SENTINEL)
-            except Full:  # consumer is gone and will drain
-                pass
+            # The sentinel MUST arrive (a silently dropped one would hang
+            # the consumer on q.get() forever after a producer exception);
+            # bounded retries so a closed consumer can't strand us.
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

@@ -145,10 +145,12 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
 
 #: leaf names that are per-modality constants, identical on every host
 #: (NOT per-sample data) — assembled replicated in multi-host batches.
-#: norm_* are the device_prep collate's normalization descriptors
-#: (eovax/data/device_prep.py); its per-host d4 draw is NOT here — the
-#: collate ships it per-sample as [B,3] so it shards like the image.
-REPLICATED_BATCH_KEYS = ("wvs", "norm_mean", "norm_std", "norm_clip")
+#: The device_prep collate's descriptors (norm_mean/std/clip, d4) are
+#: deliberately NOT here: they can legitimately differ per host (per-host
+#: D4 draws; identity-vs-real normalization when one host's batch
+#: resized), so the collate ships them per-sample ([B,·]) and they shard
+#: along the batch axis like the image (eovax/data/device_prep.py).
+REPLICATED_BATCH_KEYS = ("wvs",)
 
 
 def global_batch_from_local(

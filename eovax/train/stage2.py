@@ -399,7 +399,7 @@ class Stage2Trainer:
             )
         self._eval_step = make_eval_step(core, self.loss_obj)
         self._jit_cache: dict[Any, Any] = {}
-        self._desc_cache: dict[str, dict] = {}  # device_prep placed consts
+        self._desc_cache: dict[str, Any] = {}  # device_prep: placed wvs per modality
         self._rng = random.Random(self.seed)
         self._key = jax.random.PRNGKey(self.seed)
 
@@ -582,34 +582,37 @@ class Stage2Trainer:
         (scripts/bench_datapath.py: the numpy collate alone was 11 ms/img
         on one core).
 
-        The per-modality constants (norm mean/std/clip, wvs) are placed
-        ONCE and cached — only the image and the 12-byte D4 draw transfer
-        per step."""
+        ``wvs`` (the one genuinely per-modality constant) is placed ONCE
+        and cached; the per-sample descriptors ([B,C]/[B,2]/[B,3],
+        eovax/data/device_prep.py) ride with the image at ~2 KB per step
+        and shard along the batch axis — no host-invariance assumption.
+        An all-zero D4 draw (eval batches, identity rolls) is omitted
+        entirely, so those steps skip the augment selects."""
         if "norm_mean" not in batch:
             return place_batch(
                 {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
             )
         modality = batch.get("modality", "?")
-        desc = self._desc_cache.get(modality)
-        if desc is None:
-            desc = place_batch(
-                {
-                    "wvs": batch["wvs"],
-                    "norm_mean": batch["norm_mean"],
-                    "norm_std": batch["norm_std"],
-                    "norm_clip": batch["norm_clip"],
-                },
-                self.mesh,
-            )
-            self._desc_cache[modality] = desc
-        placed = place_batch(
-            {"image": batch["image"], "d4": batch["d4"]}, self.mesh
-        )
+        wvs = self._desc_cache.get(modality)
+        if wvs is None:
+            wvs = place_batch({"wvs": batch["wvs"]}, self.mesh)["wvs"]
+            self._desc_cache[modality] = wvs
+        per_step = {
+            "image": batch["image"],
+            "norm_mean": batch["norm_mean"],
+            "norm_std": batch["norm_std"],
+            "norm_clip": batch["norm_clip"],
+        }
+        if batch["d4"].any():
+            per_step["d4"] = batch["d4"]
+        placed = place_batch(per_step, self.mesh)
         image = (
-            placed["image"], desc["norm_mean"], desc["norm_std"],
-            desc["norm_clip"], placed["d4"],
+            placed["image"], placed["norm_mean"], placed["norm_std"],
+            placed["norm_clip"],
         )
-        return {"image": image, "wvs": desc["wvs"]}
+        if "d4" in placed:
+            image = image + (placed["d4"],)
+        return {"image": image, "wvs": wvs}
 
     def validate(self, state: TrainState, val_iter: Iterator[dict], max_batches: int = 100):
         fn = self._jitted("eval", None, None)

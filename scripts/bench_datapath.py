@@ -247,6 +247,7 @@ def main() -> None:
     for _ in range(8):
         b = next(it)
         mem_batches.append({"image": np.asarray(b["image"]), "wvs": b["wvs"]})
+    it.close()  # stop its prefetch producer before the timed sections
 
     def mem_iter():
         import itertools

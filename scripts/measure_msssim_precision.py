@@ -17,7 +17,6 @@ import functools
 import json
 import os
 import sys
-import time
 
 import numpy as np
 

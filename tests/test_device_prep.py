@@ -93,13 +93,14 @@ def test_collate_device_prep_emits_descriptors_and_skips_host_work():
     # Image passes through untouched (no fp32 conversion on host).
     assert out["image"].dtype == np.int16
     np.testing.assert_array_equal(out["image"], raw)
-    assert out["norm_mean"].shape == (12,)
-    assert out["norm_std"].shape == (12,)
-    assert out["norm_clip"].shape == (2,)
-    # [B,3]: per-sample rows so the leaf shards along batch on pods;
-    # within one host's batch every row carries the same draw.
+    # Every descriptor is per-sample so it shards along batch on pods;
+    # within one host's batch every row carries the same values.
+    assert out["norm_mean"].shape == (4, 12)
+    assert out["norm_std"].shape == (4, 12)
+    assert out["norm_clip"].shape == (4, 2)
     assert out["d4"].shape == (4, 3) and out["d4"].dtype == np.int32
-    assert (out["d4"] == out["d4"][0]).all()
+    for k in ("norm_mean", "norm_std", "norm_clip", "d4"):
+        assert (out[k] == out[k][0]).all(), k
     # Same RNG stream as the host path: seed 3 must give the same draw.
     assert tuple(out["d4"][0]) == tuple(
         __import__("eovax.data.collate", fromlist=["_roll_d4"])._roll_d4(
@@ -117,26 +118,45 @@ def test_collate_device_prep_eval_mode_identity_d4():
     assert out["d4"].shape == (2, 3) and not out["d4"].any()
 
 
-def test_collate_device_prep_nonsquare_host_augments_exactly():
-    """Non-square batches can't rot90 inside the jit (static shapes) — the
-    collate must host-augment them with the SAME rng stream the host path
-    uses, and ship the identity d4."""
+def test_collate_device_prep_nonsquare_shape_preserving_subgroup():
+    """Non-square batches draw from the shape-preserving D4 subgroup
+    (flips + rot180): odd rotations would change the static shape inside
+    the jit AND desync local batch shapes across pod hosts. The rng
+    consumption must stay identical to the host path so later draws stay
+    aligned, and the applied ops must match the host ops for the same
+    folded draw."""
     raw = _raw_batch(b=2, h=16, w=32, c=12)
     dev_c = single_modality_collate(
         ["S2L2A"], target_size=None, mode="train", seed=0, device_prep=True,
     )
-    host_c = single_modality_collate(
-        ["S2L2A"], target_size=None, mode="train", seed=0,
-    )
-    saw_rot = False
-    for _ in range(8):
+    import random as _random
+
+    stream = _random.Random(0)
+    saw_rot180 = False
+    for _ in range(12):
         out = dev_c({"S2L2A": raw})
-        ref = host_c({"S2L2A": raw})
-        assert not out["d4"].any()
-        # Same augmented geometry as the host path (rot90 may swap H/W)…
-        assert out["image"].shape == ref["image"].shape
-        saw_rot = saw_rot or out["image"].shape[1:3] == (32, 16)
-        # …and device normalize-after-augment equals host normalize-before.
+        # Shape is always the stored one — never swapped.
+        assert out["image"].shape == raw.shape
+        k = out["d4"][0, 2]
+        assert k in (0, 2)
+        saw_rot180 = saw_rot180 or k == 2
+        # Same rng consumption as the host roller, with odd k folded.
+        from eovax.data.collate import _roll_d4
+
+        ref_roll = _roll_d4(stream)
+        if ref_roll[2] % 2:
+            ref_roll[2] = (ref_roll[2] + 1) % 4
+        np.testing.assert_array_equal(out["d4"][0], ref_roll)
+        # Device application for the folded draw == host numpy ops.
+        n = make_normalizer("S2L2A", "legacy")
+        host = n(np.asarray(raw, np.float32))
+        fh, fv, kk = out["d4"][0]
+        if fh:
+            host = host[:, :, ::-1]
+        if fv:
+            host = host[:, ::-1]
+        if kk:
+            host = np.rot90(host, kk, axes=(1, 2))
         dev = np.asarray(
             device_prepare(
                 jnp.asarray(out["image"]),
@@ -146,8 +166,10 @@ def test_collate_device_prep_nonsquare_host_augments_exactly():
                 jnp.asarray(out["d4"]),
             )
         )
-        np.testing.assert_allclose(dev, ref["image"], rtol=1e-6, atol=1e-6)
-    assert saw_rot  # 8 draws at k∈{1,3} p=1/2 each: miss chance 2^-8
+        np.testing.assert_allclose(
+            dev, np.ascontiguousarray(host), rtol=1e-6, atol=1e-6
+        )
+    assert saw_rot180
 
 
 def test_collate_device_prep_resize_matches_host_exactly():
@@ -167,8 +189,8 @@ def test_collate_device_prep_resize_matches_host_exactly():
     out = dev_c({"S2L2A": raw})
     ref = host_c({"S2L2A": raw})
     assert out["image"].dtype == np.float32  # resize forces host fp32
-    np.testing.assert_array_equal(out["norm_mean"], np.zeros(12, np.float32))
-    np.testing.assert_array_equal(out["norm_std"], np.ones(12, np.float32))
+    np.testing.assert_array_equal(out["norm_mean"], np.zeros((2, 12), np.float32))
+    np.testing.assert_array_equal(out["norm_std"], np.ones((2, 12), np.float32))
     dev = np.asarray(
         device_prepare(
             jnp.asarray(out["image"]), jnp.asarray(out["norm_mean"]),
@@ -288,9 +310,11 @@ def test_native_dtype_decode_survives_to_trainer_input(tmp_path):
 
 def test_device_prep_batch_assembles_multihost():
     """global_batch_from_local must accept every leaf a device_prep collate
-    emits: norm_* descriptors replicate (REPLICATED_BATCH_KEYS), the [B,3]
-    d4 shards along batch like the image. Regression: 1-D descriptor
-    leaves used to raise ValueError, making device_prep unusable on pods."""
+    emits: all descriptors are per-sample ([B,·]) so they shard along
+    batch like the image — NO leaf relies on the host-invariance that
+    replication assumes (per-host d4 draws and identity-vs-real
+    normalization legitimately differ across hosts). Regression: 1-D
+    descriptor leaves used to raise ValueError on pods."""
     from eovax.parallel.mesh import global_batch_from_local, make_mesh
 
     mesh = make_mesh()
@@ -301,8 +325,7 @@ def test_device_prep_batch_assembles_multihost():
     batch.pop("modality")  # host-side routing key, not a device leaf
     placed = global_batch_from_local(batch, mesh)
     ndev = mesh.devices.size
-    assert placed["d4"].sharding.num_devices == ndev
-    assert len(placed["d4"].addressable_shards) == ndev
-    assert placed["d4"].addressable_shards[0].data.shape[0] == 8 // ndev
-    for k in ("norm_mean", "norm_std", "norm_clip", "wvs"):
-        assert placed[k].sharding.is_fully_replicated, k
+    for k in ("d4", "norm_mean", "norm_std", "norm_clip"):
+        assert len(placed[k].addressable_shards) == ndev, k
+        assert placed[k].addressable_shards[0].data.shape[0] == 8 // ndev, k
+    assert placed["wvs"].sharding.is_fully_replicated
