@@ -60,14 +60,62 @@ def main() -> None:
         cfg=cfg, max_steps=2, log_every=0, seed=0,
     )
 
-    def local_batches():
-        # DIFFERENT data per process — the global batch is their union.
+    device_prep = len(sys.argv) > 4 and sys.argv[4] == "device_prep"
+
+    if device_prep:
+        # device_prep collate contract across a REAL process boundary:
+        # raw uint8 batches + per-sample descriptors; seed differs per
+        # process so the D4 draws differ — the [B,·] leaves must carry
+        # each host's own values through global assembly (the whole
+        # point of the per-sample design, eovax/data/device_prep.py).
+        from eovax.data.collate import deterministic_modality_collate
+
+        collate = deterministic_modality_collate(
+            "S2RGB", target_size=(32, 32), mode="train", seed=100 + pid,
+            device_prep=True,
+        )
         g = np.random.default_rng(100 + pid)
-        for _ in range(2):
-            yield {
-                "image": g.standard_normal((8, 32, 32, 3)).astype(np.float32),
-                "wvs": np.asarray([0.665, 0.56, 0.49], np.float32),
-            }
+
+        def local_batches():
+            for _ in range(2):
+                raw = g.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8)
+                yield collate({"S2RGB": raw})
+
+        # Gold semantic check BEFORE training: the assembled + jitted
+        # device_prepare of this process's shard must equal the host
+        # numpy prep of this process's LOCAL batch with ITS OWN draw.
+        from eovax.data.normalize import make_normalizer
+        from eovax.parallel.mesh import local_numpy
+        from eovax.train.stage2 import _resolve_image
+
+        raw0 = np.random.default_rng(7 + pid).integers(
+            0, 255, (8, 32, 32, 3)
+        ).astype(np.uint8)
+        b0 = collate({"S2RGB": raw0})
+        placed = trainer._place_prepared(b0)
+        out = jax.jit(_resolve_image)(placed["image"])
+        mine = local_numpy(out)
+        host = make_normalizer("S2RGB", "legacy")(np.asarray(raw0, np.float32))
+        fh, fv, k = b0["d4"][0]
+        if fh:
+            host = host[:, :, ::-1]
+        if fv:
+            host = host[:, ::-1]
+        if k:
+            host = np.rot90(host, k, axes=(1, 2))
+        np.testing.assert_allclose(mine, host, rtol=1e-5, atol=1e-5)
+        print(f"proc {pid} device_prep shard parity OK (d4={list(b0['d4'][0])})",
+              flush=True)
+    else:
+
+        def local_batches():
+            # DIFFERENT data per process — the global batch is their union.
+            g = np.random.default_rng(100 + pid)
+            for _ in range(2):
+                yield {
+                    "image": g.standard_normal((8, 32, 32, 3)).astype(np.float32),
+                    "wvs": np.asarray([0.665, 0.56, 0.49], np.float32),
+                }
 
     state = trainer.fit(local_batches())
     assert int(state.step) == 2

@@ -222,3 +222,48 @@ def test_init_distributed_noop_without_env_raises_with(monkeypatch):
     # must raise — swallowing this is exactly the audited failure mode.
     with pytest.raises(RuntimeError):
         init_distributed()
+
+
+@pytest.mark.slow
+def test_real_two_process_training_device_prep():
+    """The device_prep collate contract across a REAL process boundary:
+    two OS processes with different per-host D4 draws and per-sample
+    descriptors, assembled via make_array_from_process_local_data. Each
+    worker asserts its OWN shard of the jitted device_prepare equals the
+    host numpy prep with its own draw (per-sample leaves carried each
+    host's values), then trains 2 steps — replicas must stay bit-identical
+    and move from init."""
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+    import os
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    with tempfile.TemporaryDirectory() as td:
+        outs = [os.path.join(td, f"proc{i}.txt") for i in range(2)]
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "tests._mp_train_worker",
+                 str(i), f"localhost:{port}", outs[i], "device_prep"],
+                env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-3000:]
+        assert "device_prep shard parity OK" in logs[0]
+        assert "device_prep shard parity OK" in logs[1]
+        vals = [open(o).read().split() for o in outs]
+        ck0, init0 = float(vals[0][0]), float(vals[0][1])
+        ck1, _ = float(vals[1][0]), float(vals[1][1])
+        assert ck0 == ck1, (ck0, ck1)
+        assert abs(ck0 - init0) > 1e-6
