@@ -141,5 +141,42 @@ def main() -> None:
     )
 
 
+def _watchdog(seconds: float = 180.0) -> None:
+    """Fail FAST and loud if the TPU tunnel is unreachable. Device
+    acquisition normally takes < 5 s (first compile is separate and
+    cached); when the tunnel is down, jax.devices() blocks forever and
+    the run would hang until some outer timeout with no diagnosis. The
+    watchdog disarms itself the moment the backend answers."""
+    import threading
+
+    disarm = threading.Event()
+
+    def arm():
+        if not disarm.wait(seconds):
+            print(
+                json.dumps(
+                    {
+                        "metric": "error",
+                        "value": 0,
+                        "unit": "tpu_unreachable",
+                        "vs_baseline": 0,
+                        "detail": f"device acquisition exceeded {seconds:.0f}s "
+                        "(TPU tunnel down?)",
+                    }
+                ),
+                flush=True,
+            )
+            import os
+
+            os._exit(3)
+
+    threading.Thread(target=arm, daemon=True).start()
+    import jax
+
+    jax.devices()  # blocks here iff the tunnel is down
+    disarm.set()
+
+
 if __name__ == "__main__":
+    _watchdog()
     main()
