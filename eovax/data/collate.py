@@ -120,9 +120,13 @@ def _prepare(
             "norm_clip": np.tile(np.asarray(clip, np.float32), (b, 1)),
             "d4": d4,
         }
-    x = np.asarray(x, np.float32)
     if normalize:
+        # The normalizer fuses the fp32 cast into its subtract pass —
+        # feeding it the stored dtype (int16 bands) skips a full-batch
+        # cast copy on this core.
         x = make_normalizer(modality, norm_scheme)(x)
+    else:
+        x = np.asarray(x, np.float32)
     if target_size is not None and x.shape[1:3] != tuple(target_size):
         x = resize_nhwc(x, tuple(target_size), mode="bilinear")
     if train:

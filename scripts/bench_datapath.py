@@ -72,7 +72,9 @@ def gen_shards() -> list[str]:
     return paths
 
 
-def reader(urls, threads, batch=BATCH, dtype=np.float32):
+def reader(urls, threads, batch=BATCH, dtype=None):
+    # dtype=None = stored dtype (int16), what TerraMeshPipeline now always
+    # uses — the collate/normalizer own the fp32 cast.
     from eovax.data.terramesh import build_terramesh_dataset
 
     return build_terramesh_dataset(
