@@ -329,3 +329,40 @@ def test_device_prep_batch_assembles_multihost():
         assert len(placed[k].addressable_shards) == ndev, k
         assert placed[k].addressable_shards[0].data.shape[0] == 8 // ndev, k
     assert placed["wvs"].sharding.is_fully_replicated
+
+
+@pytest.mark.parametrize("scheme", ["legacy", "custom"])
+def test_normalizer_native_dtype_bitwise_matches_fp32_input(scheme):
+    """The fused normalizer (cast folded into subtract, in-place reciprocal
+    scale) must be BITWISE identical whether fed the stored int16 or a
+    pre-cast fp32 array — and its int-dtype clip must equal the fp32 clip
+    (bounds are integral)."""
+    g = np.random.default_rng(3)
+    raw = g.integers(-2000, 16000, (2, 8, 8, 12)).astype(np.int16)
+    n = make_normalizer("S2L2A", scheme)
+    a = n(raw)
+    b = n(np.asarray(raw, np.float32))
+    assert a.dtype == b.dtype == np.float32
+    np.testing.assert_array_equal(a, b)  # bitwise
+
+
+def test_normalizer_matches_device_prepare_bitwise():
+    """Host numpy normalize and on-device device_prepare now share the op
+    order (clip -> fused-cast subtract -> multiply by reciprocal): on CPU
+    jax the results must be bitwise equal, so device_prep on/off trains
+    on identical data."""
+    g = np.random.default_rng(4)
+    raw = g.integers(0, 16000, (2, 8, 8, 12)).astype(np.int16)
+    for scheme in ("legacy", "custom"):
+        n = make_normalizer("S2L2A", scheme)
+        clip = n.clip if n.clip is not None else (-np.inf, np.inf)
+        host = n(raw)
+        dev = np.asarray(
+            device_prepare(
+                jnp.asarray(raw),
+                jnp.asarray(n.mean, jnp.float32),
+                jnp.asarray(n.std + n.eps, jnp.float32),
+                jnp.asarray(clip, jnp.float32),
+            )
+        )
+        np.testing.assert_array_equal(dev, host), scheme
