@@ -71,11 +71,13 @@ def _prepare(
         if needs_resize:
             # The host path clips+normalizes BEFORE resize and the clip
             # does not commute with bilinear interpolation — so when a
-            # resize is needed, normalize here (host order) and ship
-            # identity descriptors. Only D4 stays on device.
-            x = np.asarray(x, np.float32)
+            # resize is needed, normalize here (host order; the
+            # normalizer fuses the fp32 cast) and ship identity
+            # descriptors. Only D4 stays on device.
             if normalize:
                 x = make_normalizer(modality, norm_scheme)(x)
+            else:
+                x = np.asarray(x, np.float32)
             x = resize_nhwc(x, tuple(target_size), mode="bilinear")
             mean = np.zeros(x.shape[-1], np.float32)
             std = np.ones(x.shape[-1], np.float32)

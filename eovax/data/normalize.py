@@ -96,12 +96,21 @@ class Normalizer:
         temporary-array churn was most of it (scripts/bench_datapath)."""
         x = np.asarray(x)
         if self.clip is not None:
-            if np.issubdtype(x.dtype, np.integer):
+            lo, hi = self.clip
+            if (
+                np.issubdtype(x.dtype, np.integer)
+                and float(lo).is_integer()
+                and float(hi).is_integer()
+            ):
                 # Integral bounds keep the clip in the native dtype
-                # (float bounds would promote the temp to float64).
-                x = np.clip(x, int(self.clip[0]), int(self.clip[1]))
+                # (float bounds would promote the temp to float64, and
+                # NumPy 2 raises on out-of-dtype-range Python ints).
+                # Clamping the bounds into the dtype's range is exact:
+                # values can't exceed it either.
+                info = np.iinfo(x.dtype)
+                x = np.clip(x, max(int(lo), info.min), min(int(hi), info.max))
             else:
-                x = np.clip(x, self.clip[0], self.clip[1])
+                x = np.clip(np.asarray(x, np.float32), lo, hi)
         out = np.subtract(x, self.mean, dtype=np.float32)  # fused cast+sub
         out *= np.float32(1.0) / (self.std + self.eps)
         return out

@@ -594,11 +594,6 @@ class TerraMeshPipeline:
             val_collate_mode, normalize=normalize, norm_scheme=norm_scheme,
             target_size=target_size, mode="eval", device_prep=device_prep,
         )
-        # Keep the stored dtype through the reader (half the queue bytes
-        # for int16 bands, no per-sample cast pass): with device_prep the
-        # raw batch ships to the TPU as-is; on the host path the
-        # normalizer fuses the fp32 cast into its subtract pass.
-        self._decode_dtype = None
 
     def train_batches(self) -> Iterator[dict]:
         raw = build_terramesh_dataset(
@@ -606,7 +601,10 @@ class TerraMeshPipeline:
             batch_size=self.batch_size, shuffle=True, seed=self.seed,
             harmonize_s2l2a=self._harmonize, repeat=True,
             num_reader_threads=self.num_workers,
-            decode_dtype=self._decode_dtype, **self.process,
+            # Stored dtype end-to-end (half the queue bytes for int16, no
+            # per-sample cast): device_prep ships it raw to the TPU; the
+            # host normalizer fuses the fp32 cast into its subtract.
+            decode_dtype=None, **self.process,
         )
         return (self.train_collate(b) for b in raw)
 
@@ -616,6 +614,6 @@ class TerraMeshPipeline:
             batch_size=self.eval_batch_size, shuffle=False,
             harmonize_s2l2a=self._harmonize,
             num_reader_threads=self.num_workers,
-            decode_dtype=self._decode_dtype, **self.process,
+            decode_dtype=None, **self.process,
         )
         return (self.val_collate(b) for b in raw)

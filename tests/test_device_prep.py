@@ -365,4 +365,25 @@ def test_normalizer_matches_device_prepare_bitwise():
                 jnp.asarray(clip, jnp.float32),
             )
         )
-        np.testing.assert_array_equal(dev, host), scheme
+        np.testing.assert_array_equal(dev, host, err_msg=scheme)
+
+
+def test_normalizer_clip_handles_narrow_integer_dtypes():
+    """NumPy 2 raises OverflowError for np.clip(uint8, 0, 10000); the
+    normalizer must clamp integral bounds into the dtype range (exact —
+    values can't exceed it either) and match the fp32-input result."""
+    g = np.random.default_rng(5)
+    raw = g.integers(0, 255, (2, 4, 4, 3), dtype=np.uint8)
+    from eovax.data.normalize import Normalizer
+
+    n = Normalizer(
+        mean=np.zeros(3, np.float32), std=np.ones(3, np.float32),
+        clip=(0.0, 10000.0),
+    )
+    np.testing.assert_array_equal(n(raw), n(np.asarray(raw, np.float32)))
+    # Non-integral bounds fall back to the fp32 clip (device op order).
+    n2 = Normalizer(
+        mean=np.zeros(3, np.float32), std=np.ones(3, np.float32),
+        clip=(0.5, 100.5),
+    )
+    np.testing.assert_array_equal(n2(raw), n2(np.asarray(raw, np.float32)))
