@@ -34,7 +34,7 @@ def _peak_memory_gb() -> float | None:
         return None
 
 
-def main(argv=None) -> None:
+def main(argv=None, *, emit_marker: bool = True) -> None:
     parser = argparse.ArgumentParser(description="EO-VAE pipeline benchmark")
     parser.add_argument("--name", default="eo-vae")
     parser.add_argument("--batch", type=int, default=1)
@@ -210,7 +210,11 @@ def main(argv=None) -> None:
     if args.output:
         with open(args.output, "w") as f:
             json.dump(result, f, indent=2)
-    print(f"JSON_RESULT:{json.dumps(result)}")
+    if emit_marker:
+        # Exactly ONE JSON_RESULT line per invocation is the stdout
+        # contract consumers grep for; --all's nested SR sub-runs pass
+        # emit_marker=False so only the final ledger prints it.
+        print(f"JSON_RESULT:{json.dumps(result)}")
 
 
 def _bench_all(args) -> None:
@@ -334,7 +338,8 @@ def _bench_all(args) -> None:
                 "--sr-sampler", sampler_name, "--sr-steps", str(steps),
                 "--iters", "20", "--name", f"sr_{tag}",
                 "--output", f"/tmp/eovax_bench_sr_{tag}.json",
-            ]
+            ],
+            emit_marker=False,
         )
         with open(f"/tmp/eovax_bench_sr_{tag}.json") as f:
             r = json.load(f)

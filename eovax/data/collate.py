@@ -92,8 +92,30 @@ def _prepare(
             else:
                 mean, std = n.mean, n.std + n.eps
         b = x.shape[0]
-        d4 = np.zeros((b, 3), np.int32)
+        out = {
+            "image": x,
+            "wvs": np.asarray(WAVELENGTHS[modality], np.float32),
+            "modality": modality,
+            # Descriptors are per-sample ([B,C]/[B,2], ~2 KB per step):
+            # a batch that resized ships identity normalization while
+            # another host's (or a later batch of the same modality)
+            # ships the real one — per-sample values make that correct
+            # with no host-invariance or cacheable-per-modality
+            # assumption. (The image DTYPE is a separate, structural
+            # concern — Stage2Trainer unifies it to fp32 on multi-host
+            # before global assembly, see stage2._place_prepared.)
+            "norm_mean": np.tile(np.asarray(mean, np.float32), (b, 1)),
+            "norm_std": np.tile(np.asarray(std, np.float32), (b, 1)),
+            "norm_clip": np.tile(np.asarray(clip, np.float32), (b, 1)),
+        }
         if train:
+            # The "d4" leaf is present iff mode == train — a HOST-INVARIANT
+            # rule. Deciding presence from the drawn values (e.g. omitting
+            # identity draws) would give pod hosts with independent rng
+            # streams different batch pytree STRUCTURES in the same step
+            # (~23%/step on 4 hosts) → divergent jitted programs → hang at
+            # the grad collective. Identity draws ship and cost a few
+            # no-op selects; eval batches omit the leaf entirely.
             roll = _roll_d4(rng)
             if x.shape[1] != x.shape[2] and roll[2] % 2:
                 # Non-square: odd rotations change the static shape —
@@ -107,21 +129,8 @@ def _prepare(
             # on multi-host pods (each host's samples keep that host's
             # draw; replicated leaves must be host-invariant, which
             # per-host draws are not).
-            d4 = np.tile(roll, (b, 1))
-        # Descriptors are ALSO per-sample ([B,C]/[B,2], ~2 KB per step):
-        # a batch that resized ships identity normalization while another
-        # host's (or a later batch of the same modality) ships the real
-        # one — per-sample descriptors make that unconditionally correct,
-        # with no host-invariance or cacheable-per-modality assumption.
-        return {
-            "image": x,
-            "wvs": np.asarray(WAVELENGTHS[modality], np.float32),
-            "modality": modality,
-            "norm_mean": np.tile(np.asarray(mean, np.float32), (b, 1)),
-            "norm_std": np.tile(np.asarray(std, np.float32), (b, 1)),
-            "norm_clip": np.tile(np.asarray(clip, np.float32), (b, 1)),
-            "d4": d4,
-        }
+            out["d4"] = np.tile(roll, (b, 1))
+        return out
     if normalize:
         # The normalizer fuses the fp32 cast into its subtract pass —
         # feeding it the stored dtype (int16 bands) skips a full-batch

@@ -21,7 +21,13 @@ they shard along the batch axis exactly like the image, so on a multi-host
 pod each host's samples carry that host's own values with no
 "host-invariant" assumption to violate (a batch that needed a host-side
 resize ships identity normalization while another host's ships the real
-one — both correct). The cost is ~2 KB per step of extra H2D.
+one — the descriptor VALUES are correct either way). The cost is ~2 KB
+per step of extra H2D. Two things must still be host-invariant because
+they are STRUCTURAL, and the trainer enforces both
+(``stage2._place_prepared``): the presence of the "d4" leaf (decided by
+collate mode — train ships it, eval omits it; never by drawn values) and
+the raw image dtype (unified to fp32 before multi-host assembly, since a
+resized host emits fp32 while a non-resized one keeps int16).
 
 Semantics match the host path exactly (tests/test_device_prep.py):
 ``clip → (x - mean) / std → D4`` where std already includes the legacy
@@ -59,9 +65,10 @@ def device_prepare(
         +inf)`` disables the clip branchlessly ('legacy' scheme; 'custom'
         clips to [0, 10000], terramesh_datamodule.py:144-257).
       d4: int32 ``(flip_h, flip_v, rot_k)`` draws, or None to skip the
-        augment stage entirely (eval batches / identity rolls — the
-        trainer omits the leaf when the draw is all-zero, saving ~6
-        full-batch HBM passes of select traffic). Shape [B,3] = one draw
+        augment stage entirely (eval batches — the collate omits the leaf
+        in eval mode, saving ~6 full-batch HBM passes of select traffic;
+        train-mode identity draws still ship, since presence must be
+        host-invariant). Shape [B,3] = one draw
         PER SAMPLE: shards along batch like the image, so on a pod each
         host's samples keep that host's collate draw; every op below is
         per-sample, so the sharding flows through with no collectives.

@@ -317,10 +317,18 @@ def _prefetch(iterator_factory: Callable[[], Iterator], depth: int) -> Iterator:
     or GC after an early-stopped fit — preemption, max_steps) the producer
     thread is told to stop and unblocked if it was waiting on a full
     queue. Without this, every abandoned iterator leaked a live thread
-    pinning ``depth`` decoded batches of memory for the process lifetime."""
+    pinning ``depth`` decoded batches of memory for the process lifetime.
+
+    Error-propagating: a producer exception (shard open failure, decode
+    bug, OOM in the stack) is re-raised in the CONSUMER — the sentinel
+    alone would read as a clean end-of-stream and a 100k-step fit would
+    quietly "finish" at whatever step the data died (r4 review). Corrupt
+    *samples* are still skipped upstream (zarr handler=warn semantics);
+    only errors that escape the pipeline itself land here."""
     q: Queue = Queue(maxsize=depth)
     _SENTINEL = object()
     stop = threading.Event()
+    err: list[BaseException] = []
 
     def producer():
         try:
@@ -337,6 +345,8 @@ def _prefetch(iterator_factory: Callable[[], Iterator], depth: int) -> Iterator:
                         break
                     except Full:
                         continue
+        except BaseException as e:  # recorded BEFORE the sentinel lands
+            err.append(e)
         finally:
             # The sentinel MUST arrive (a silently dropped one would hang
             # the consumer on q.get() forever after a producer exception);
@@ -354,6 +364,8 @@ def _prefetch(iterator_factory: Callable[[], Iterator], depth: int) -> Iterator:
         while True:
             item = q.get()
             if item is _SENTINEL:
+                if err:
+                    raise err[0]
                 return
             yield item
     finally:

@@ -102,11 +102,6 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-#: (leading_dim, mesh_size) combinations already warned about — one warning
-#: per distinct mismatch per process, not one per step.
-_warned_fallbacks: set[tuple[int, int]] = set()
-
-
 def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     """Place a host-local batch pytree sharded on axis 0.
 
@@ -116,6 +111,14 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     :class:`ShardingFallbackWarning` for per-sample leaves (ndim ≥ 2):
     replicating an image batch trains correctly but at 1/N efficiency,
     which on a pod must never happen without notice.
+
+    Dedup is left to the stdlib ``warnings`` registry (once per distinct
+    message under default filters) rather than a module-global set: a
+    private set would survive ``simplefilter("error",
+    ShardingFallbackWarning)`` and let a must-fail-loudly guard (e.g.
+    ``__graft_entry__.dryrun_multichip``) report sharded execution that
+    silently fell back — filter changes invalidate the stdlib registry,
+    so escalation always fires.
     """
     n = mesh.shape[axis]
     data_sh = batch_sharding(mesh, axis)
@@ -126,18 +129,14 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
         if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0 and x.shape[0] >= n:
             return jax.device_put(x, data_sh)
         if getattr(x, "ndim", 0) >= 2:
-            key = (int(x.shape[0]), int(n))
-            if key not in _warned_fallbacks:
-                _warned_fallbacks.add(key)
-                warnings.warn(
-                    f"shard_batch: per-sample leaf with leading dim "
-                    f"{x.shape[0]} is not divisible by the {n}-device "
-                    f"'{axis}' mesh axis — REPLICATING it (every device "
-                    f"computes the full batch, 1/{n} efficiency). Make the "
-                    f"global batch size a multiple of {n}.",
-                    ShardingFallbackWarning,
-                    stacklevel=3,
-                )
+            warnings.warn(
+                f"shard_batch: per-sample leaf with leading dim "
+                f"{x.shape[0]} is not divisible by the {n}-device "
+                f"'{axis}' mesh axis — REPLICATING it (every device "
+                f"computes the full batch, 1/{n} efficiency). Make the "
+                f"global batch size a multiple of {n}.",
+                ShardingFallbackWarning,
+            )
         return jax.device_put(x, repl_sh)
 
     return jax.tree_util.tree_map(place, batch)
@@ -146,10 +145,13 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
 #: leaf names that are per-modality constants, identical on every host
 #: (NOT per-sample data) — assembled replicated in multi-host batches.
 #: The device_prep collate's descriptors (norm_mean/std/clip, d4) are
-#: deliberately NOT here: they can legitimately differ per host (per-host
-#: D4 draws; identity-vs-real normalization when one host's batch
-#: resized), so the collate ships them per-sample ([B,·]) and they shard
-#: along the batch axis like the image (eovax/data/device_prep.py).
+#: deliberately NOT here: their VALUES can legitimately differ per host
+#: (per-host D4 draws; identity-vs-real normalization when one host's
+#: batch resized), so the collate ships them per-sample ([B,·]) and they
+#: shard along the batch axis like the image. What must stay
+#: host-invariant is batch STRUCTURE — d4-leaf presence (collate mode)
+#: and image dtype (trainer unifies to fp32 on pods) — see
+#: eovax/data/device_prep.py and stage2._place_prepared.
 REPLICATED_BATCH_KEYS = ("wvs",)
 
 

@@ -586,8 +586,22 @@ class Stage2Trainer:
         and cached; the per-sample descriptors ([B,C]/[B,2]/[B,3],
         eovax/data/device_prep.py) ride with the image at ~2 KB per step
         and shard along the batch axis — no host-invariance assumption.
-        An all-zero D4 draw (eval batches, identity rolls) is omitted
-        entirely, so those steps skip the augment selects."""
+        The "d4" leaf is structural: present iff the collate ran in train
+        mode (eval batches omit it and skip the augment selects). Its
+        presence must NOT depend on the drawn values — per-host draws
+        would then give pod hosts different batch pytrees in the same
+        step and divergent jitted programs (r4 review).
+
+        Multi-host, the raw image is unified to fp32 before global
+        assembly: the collate keeps the stored dtype (int16) when no
+        resize was needed but emits fp32 when one was, and with
+        heterogeneous stored tile sizes the two can coexist across hosts
+        in ONE global array — mismatched local avals compile divergent
+        step programs and hang. Uniform fp32 costs one cast pass per
+        batch on hosts that kept int16 (~1.3 ms/img, many-core pods
+        absorb it); the normalize + D4 stay on device either way.
+        Single-process runs keep the int16 H2D fast path — there is no
+        second program to diverge from."""
         if "norm_mean" not in batch:
             return place_batch(
                 {"image": batch["image"], "wvs": batch["wvs"]}, self.mesh
@@ -597,13 +611,16 @@ class Stage2Trainer:
         if wvs is None:
             wvs = place_batch({"wvs": batch["wvs"]}, self.mesh)["wvs"]
             self._desc_cache[modality] = wvs
+        image = batch["image"]
+        if jax.process_count() > 1 and image.dtype != np.float32:
+            image = np.asarray(image, np.float32)
         per_step = {
-            "image": batch["image"],
+            "image": image,
             "norm_mean": batch["norm_mean"],
             "norm_std": batch["norm_std"],
             "norm_clip": batch["norm_clip"],
         }
-        if batch["d4"].any():
+        if "d4" in batch:
             per_step["d4"] = batch["d4"]
         placed = place_batch(per_step, self.mesh)
         image = (

@@ -109,13 +109,37 @@ def test_collate_device_prep_emits_descriptors_and_skips_host_work():
     )
 
 
-def test_collate_device_prep_eval_mode_identity_d4():
+def test_collate_device_prep_eval_mode_omits_d4():
+    """Eval batches carry NO "d4" leaf; train batches always do (even
+    identity draws). Presence is decided by collate MODE — a
+    host-invariant rule — never by the drawn values: per-host rng streams
+    deciding pytree structure would desync jitted programs across pod
+    hosts (r4 review)."""
     raw = _raw_batch(b=2, h=32, w=32, c=12)
     collate = deterministic_modality_collate(
         "S2L2A", target_size=(32, 32), mode="eval", device_prep=True,
     )
     out = collate({"S2L2A": raw})
-    assert out["d4"].shape == (2, 3) and not out["d4"].any()
+    assert "d4" not in out
+    # Train mode with a seed whose first roll is the identity still ships
+    # the leaf (structure must not depend on values). Find such a seed.
+    for seed in range(64):
+        if tuple(_roll_d4_probe(seed)) == (0, 0, 0):
+            break
+    else:
+        raise AssertionError("no identity-roll seed in 0..63")
+    collate_t = deterministic_modality_collate(
+        "S2L2A", target_size=(32, 32), mode="train", seed=seed,
+        device_prep=True,
+    )
+    out_t = collate_t({"S2L2A": raw})
+    assert "d4" in out_t and not out_t["d4"].any()
+
+
+def _roll_d4_probe(seed):
+    from eovax.data.collate import _roll_d4
+
+    return _roll_d4(random.Random(seed))
 
 
 def test_collate_device_prep_nonsquare_shape_preserving_subgroup():
@@ -191,11 +215,11 @@ def test_collate_device_prep_resize_matches_host_exactly():
     assert out["image"].dtype == np.float32  # resize forces host fp32
     np.testing.assert_array_equal(out["norm_mean"], np.zeros((2, 12), np.float32))
     np.testing.assert_array_equal(out["norm_std"], np.ones((2, 12), np.float32))
+    assert "d4" not in out  # eval mode omits the leaf entirely
     dev = np.asarray(
         device_prepare(
             jnp.asarray(out["image"]), jnp.asarray(out["norm_mean"]),
             jnp.asarray(out["norm_std"]), jnp.asarray(out["norm_clip"]),
-            jnp.asarray(out["d4"]),
         )
     )
     np.testing.assert_allclose(dev, ref["image"], rtol=1e-6, atol=1e-6)

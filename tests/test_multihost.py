@@ -53,28 +53,33 @@ def test_shard_batch_warns_on_nondivisible_per_sample_leaf():
     """VERDICT r3 #4: a per-sample (ndim ≥ 2) leaf whose leading dim
     doesn't divide the mesh must warn (it trains at 1/N efficiency);
     per-batch constants like `wvs` stay silently replicated."""
-    import eovax.parallel.mesh as mesh_mod
-
     mesh = make_mesh()
     g = np.random.default_rng(0)
     bad = {
         "image": g.standard_normal((6, 8, 8, 3), dtype=np.float32),  # 6 % 8 != 0
         "wvs": np.asarray([0.665, 0.56, 0.49], np.float32),
     }
-    mesh_mod._warned_fallbacks.clear()
     with pytest.warns(ShardingFallbackWarning, match="not divisible"):
         out = shard_batch(bad, mesh)
     assert out["image"].sharding.is_fully_replicated  # still correct, just slow
-    # One warning per distinct mismatch per process — a second identical
-    # call (e.g. every train step) must stay quiet.
     import warnings as _w
 
+    # Escalation must fire even though the same mismatch already warned
+    # above: a must-fail-loudly guard (dryrun_multichip) relies on
+    # simplefilter("error") beating any warn-once dedup (r4 review).
     with _w.catch_warnings():
         _w.simplefilter("error", ShardingFallbackWarning)
-        shard_batch(bad, mesh)
-        # wvs (1-D constant) never warns, even on a fresh registry.
-        mesh_mod._warned_fallbacks.clear()
+        with pytest.raises(ShardingFallbackWarning):
+            shard_batch(bad, mesh)
+        # wvs (1-D constant) never warns, even escalated.
         shard_batch({"wvs": bad["wvs"]}, mesh)
+    # Under default filters, a repeat of the SAME mismatch stays quiet
+    # (stdlib registry dedup) — no warning spam once per train step.
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("default")
+        shard_batch(bad, mesh)
+        shard_batch(bad, mesh)
+    assert sum(issubclass(w.category, ShardingFallbackWarning) for w in rec) == 1
 
 
 def test_place_batch_multiprocess_route(monkeypatch):

@@ -313,3 +313,31 @@ def test_prefetch_close_stops_producer_thread(tmp_path):
     assert not any(t.is_alive() for t in spawned), (
         "producer thread still alive after close()"
     )
+
+
+def test_prefetch_propagates_producer_exception():
+    """A producer-side failure (shard open error, decode bug, OOM in the
+    stack) must re-raise in the CONSUMER — the old behavior enqueued the
+    clean end-of-stream sentinel, so a long fit would quietly "finish" at
+    whatever step the data pipeline died (r4 review)."""
+    from eovax.data.terramesh import _prefetch
+
+    def exploding():
+        yield 1
+        yield 2
+        raise RuntimeError("shard 37 unreadable")
+
+    it = _prefetch(exploding, depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(RuntimeError, match="shard 37 unreadable"):
+        next(it)
+
+    # A factory that fails before yielding anything must also raise, not
+    # present as an empty stream.
+    def broken_factory():
+        raise OSError("no shards match pattern")
+
+    it2 = _prefetch(broken_factory, depth=2)
+    with pytest.raises(OSError, match="no shards"):
+        next(it2)
