@@ -177,6 +177,29 @@ def _watchdog(seconds: float = 180.0) -> None:
     disarm.set()
 
 
+def _main_with_retry(attempts: int = 3) -> None:
+    """Bounded retry on transient tunnel faults. The remote compile
+    service has been seen dropping one HTTP response mid-read
+    ("remote_compile: read body: response body closed ...") — a one-off
+    that succeeds on retry (the persistent compile cache makes the retry
+    cheap). Only such INTERNAL/transport errors are retried; real
+    failures re-raise immediately so they stay diagnosable."""
+    transient = ("remote_compile", "read body", "DEADLINE_EXCEEDED",
+                 "UNAVAILABLE", "Connection reset")
+    for attempt in range(attempts):
+        try:
+            main()
+            return
+        except Exception as e:  # noqa: BLE001 — filtered by message below
+            msg = str(e)
+            if attempt + 1 >= attempts or not any(t in msg for t in transient):
+                raise
+            print(f"# transient tunnel fault (attempt {attempt + 1}/"
+                  f"{attempts}), retrying: {msg.splitlines()[0][:120]}",
+                  flush=True)
+            time.sleep(5.0)
+
+
 if __name__ == "__main__":
     _watchdog()
-    main()
+    _main_with_retry()
