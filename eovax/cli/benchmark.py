@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -242,11 +243,15 @@ def _bench_all(args) -> None:
 
     # Shared slope-method timer (HTTP-413 closure rule and the warm/min
     # protocol live there — change the methodology in ONE place).
+    from eovax.utils.slopetime import chained_ms as _chained_ms
     from eovax.utils.slopetime import random_variables
     from eovax.utils.slopetime import slope_ms as _slope_ms
 
     def slope_ms(loop, x0, lo=LO, hi=HI):
         return _slope_ms(loop, x0, lo, hi)
+
+    def chained_ms(fn, x0, consts, lo=LO, hi=HI):
+        return _chained_ms(fn, x0, consts, lo, hi)
 
     def host_variables(core, x, wvs):
         return random_variables(
@@ -272,17 +277,13 @@ def _bench_all(args) -> None:
         )
         variables = host_variables(core, x16[:1], wvs)
 
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def loop(v, x, n, _core=core):
-            def body(_, y):
-                recon, _ = _core.apply(
-                    v, y, wvs, sample_posterior=False, method=EOVAECore.forward
-                )
-                return jnp.tanh(recon).astype(jnp.float32)
+        def recon_body(v, y, _core=core):
+            recon, _ = _core.apply(
+                v, y, wvs, sample_posterior=False, method=EOVAECore.forward
+            )
+            return jnp.tanh(recon).astype(jnp.float32)
 
-            return jax.lax.fori_loop(0, n, body, x)
-
-        ms = slope_ms(functools.partial(loop, variables), x16)
+        ms = chained_ms(recon_body, x16, variables)
         ledger[f"reconstruct_{tag}"] = {
             "batch": B, "ms_per_batch": round(ms, 2),
             "imgs_per_sec": round(B * 1e3 / ms, 1),
@@ -329,20 +330,32 @@ def _bench_all(args) -> None:
     print(f"train_step: {ms:.1f} ms ({B * 1e3 / ms:.1f} imgs/s)", flush=True)
 
     # ---- 512px SR pipeline, DDIM-50 and DPM++(2M)-25 ---------------------
+    import tempfile as _tempfile
+
     for tag, (sampler_name, steps) in (
         ("ddim50", ("ddim", 50)), ("dpmpp2m25", ("dpm++2m", 25)),
     ):
-        main(  # reuse the single-pipeline path, capture via --output file
-            [
-                "--batch", "1", "--resolution", "128",
-                "--sr-sampler", sampler_name, "--sr-steps", str(steps),
-                "--iters", "20", "--name", f"sr_{tag}",
-                "--output", f"/tmp/eovax_bench_sr_{tag}.json",
-            ],
-            emit_marker=False,
+        # Per-invocation temp path: a fixed /tmp name would let a
+        # concurrent --all run (or a stale file from an aborted one)
+        # feed foreign numbers into this ledger unnoticed.
+        fd, sr_out = _tempfile.mkstemp(
+            prefix=f"eovax_bench_sr_{tag}_", suffix=".json"
         )
-        with open(f"/tmp/eovax_bench_sr_{tag}.json") as f:
-            r = json.load(f)
+        os.close(fd)
+        try:
+            main(  # reuse the single-pipeline path, capture via --output
+                [
+                    "--batch", "1", "--resolution", "128",
+                    "--sr-sampler", sampler_name, "--sr-steps", str(steps),
+                    "--iters", "20", "--name", f"sr_{tag}",
+                    "--output", sr_out,
+                ],
+                emit_marker=False,
+            )
+            with open(sr_out) as f:
+                r = json.load(f)
+        finally:
+            os.unlink(sr_out)
         ledger[f"sr_pipeline_512_{tag}"] = {
             "timing_ms": r["timing_ms"],
             "throughput_imgs_per_sec": r["throughput_imgs_per_sec"],
@@ -381,14 +394,10 @@ def _bench_all(args) -> None:
     exp = served._fn("reconstruct", "S2L2A")
     x_nchw = jnp.transpose(x16, (0, 3, 1, 2))
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def serve_loop(v, x, n):
-        def body(_, y):
-            return jnp.tanh(exp.call(v, y)).astype(jnp.float32)
+    def serve_body(v, y):
+        return jnp.tanh(exp.call(v, y)).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, n, body, x)
-
-    ms = slope_ms(functools.partial(serve_loop, served._variables), x_nchw)
+    ms = chained_ms(serve_body, x_nchw, served._variables)
     ledger["serving_artifact_bf16"] = {
         "batch": B, "ms_per_batch": round(ms, 2),
         "imgs_per_sec": round(B * 1e3 / ms, 1),

@@ -101,12 +101,18 @@ class Normalizer:
                 np.issubdtype(x.dtype, np.integer)
                 and float(lo).is_integer()
                 and float(hi).is_integer()
+                and int(lo) <= np.iinfo(x.dtype).max
+                and int(hi) >= np.iinfo(x.dtype).min
             ):
                 # Integral bounds keep the clip in the native dtype
                 # (float bounds would promote the temp to float64, and
                 # NumPy 2 raises on out-of-dtype-range Python ints).
-                # Clamping the bounds into the dtype's range is exact:
-                # values can't exceed it either.
+                # Clamping the bounds INTO the dtype's range is exact as
+                # long as [lo, hi] intersects it: values can't lie beyond
+                # the range either. A bound strictly outside the range on
+                # the far side (lo > dtype max / hi < dtype min) would
+                # force every element to an unrepresentable value, so
+                # that case falls through to the fp32 clip.
                 info = np.iinfo(x.dtype)
                 x = np.clip(x, max(int(lo), info.min), min(int(hi), info.max))
             else:

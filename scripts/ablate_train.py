@@ -126,20 +126,12 @@ def main() -> None:
     image = rand((B, 256, 256, 12), jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    var_shapes = jax.eval_shape(
+    variables = random_variables(
         lambda: core.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 12)), wvs,
             sample_posterior=False, method=EOVAECore.forward,
-        )
-    )
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.asarray(
-            rng.normal(0, 0.02, size=s.shape).astype(np.dtype(s.dtype))
         ),
-        var_shapes,
-    )
-    variables["batch_stats"]["bn"]["var"] = jnp.ones_like(
-        variables["batch_stats"]["bn"]["var"]
+        rng,
     )
     params, batch_stats = variables["params"], variables["batch_stats"]
 

@@ -119,20 +119,14 @@ def main() -> None:
     core = EOVAECore(
         encoder_cfg=cfg.encoder, decoder_cfg=cfg.decoder, policy=DEFAULT_POLICY
     )
-    var_shapes = jax.eval_shape(
+    from eovax.utils.slopetime import random_variables
+
+    variables = random_variables(
         lambda: core.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 12)), wvs,
             sample_posterior=False, method=EOVAECore.forward,
-        )
-    )
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.asarray(
-            rng.normal(0, 0.02, size=s.shape).astype(np.dtype(s.dtype))
         ),
-        var_shapes,
-    )
-    variables["batch_stats"]["bn"]["var"] = jnp.ones_like(
-        variables["batch_stats"]["bn"]["var"]
+        rng,
     )
     tx, _ = make_optimizer(cfg)
     step_fn = make_train_step(core, loss_obj, tx, cfg)

@@ -411,3 +411,20 @@ def test_normalizer_clip_handles_narrow_integer_dtypes():
         clip=(0.5, 100.5),
     )
     np.testing.assert_array_equal(n2(raw), n2(np.asarray(raw, np.float32)))
+    # A clip interval strictly beyond the dtype's far side (lo > uint8
+    # max) must not overflow the native-dtype path: it falls through to
+    # the fp32 clip, which yields the (unrepresentable-in-uint8) bound.
+    n3 = Normalizer(
+        mean=np.zeros(3, np.float32), std=np.ones(3, np.float32),
+        clip=(300.0, 10000.0),
+    )
+    out = n3(raw)
+    np.testing.assert_array_equal(out, np.full_like(out, 300.0))
+    np.testing.assert_array_equal(out, n3(np.asarray(raw, np.float32)))
+    # Symmetric hole: hi below the dtype min on a signed narrow dtype.
+    sraw = g.integers(-100, 100, (2, 4, 4, 3), dtype=np.int8)
+    n4 = Normalizer(
+        mean=np.zeros(3, np.float32), std=np.ones(3, np.float32),
+        clip=(-500.0, -200.0),
+    )
+    np.testing.assert_array_equal(n4(sraw), np.full((2, 4, 4, 3), -200.0, np.float32))
