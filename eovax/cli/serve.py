@@ -29,6 +29,13 @@ def main(argv=None) -> None:
     parser.add_argument("--warmup", type=int, nargs="*", default=[1],
                         help="batch sizes to pre-compile (default: 1; pass "
                         "no values to skip)")
+    parser.add_argument("--max-batch", type=int, default=0,
+                        help="enable dynamic micro-batching: coalesce "
+                        "concurrent requests into device batches up to this "
+                        "size (0 = off; super_resolve is never batched)")
+    parser.add_argument("--batch-wait-ms", type=float, default=3.0,
+                        help="micro-batching window: how long the first "
+                        "request in a batch waits for company")
     parser.add_argument("--verbose", action="store_true",
                         help="log one line per request")
     args = parser.parse_args(argv)
@@ -54,12 +61,19 @@ def main(argv=None) -> None:
         # eats the compile the warm-up was supposed to prevent.
         if warm_batches and not any(b % n == 0 for b in warm_batches):
             warm_batches.append(n)
+    httpd = make_server(served, host=args.host, port=args.port,
+                        quiet=not args.verbose, max_batch=args.max_batch,
+                        batch_wait_ms=args.batch_wait_ms)
+    if httpd.batcher is not None:
+        # Pre-compile the bucket ladder: batched traffic dispatches at
+        # bucket sizes, and each concrete size compiles once at call time.
+        warm_batches = sorted(set(warm_batches) | set(httpd.batcher.buckets))
+        print(f"micro-batching on: max_batch={args.max_batch}, "
+              f"window={args.batch_wait_ms} ms, "
+              f"buckets={httpd.batcher.buckets}")
     if warm_batches:
         warmed = warmup(served, batch_sizes=tuple(warm_batches))
         print(f"warmed {len(warmed)} function×batch combinations")
-
-    httpd = make_server(served, host=args.host, port=args.port,
-                        quiet=not args.verbose)
     host, port = httpd.server_address[:2]
     fns = ", ".join(sorted(served._manifest["functions"]))
     print(f"serving {fns} on http://{host}:{port}/v1/ (GET /healthz, "

@@ -34,4 +34,5 @@ from eovax.serving.export import (  # noqa: F401
     export_model,
     export_sr_pipeline,
 )
+from eovax.serving.batching import MicroBatcher  # noqa: F401
 from eovax.serving.server import make_server, warmup  # noqa: F401

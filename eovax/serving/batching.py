@@ -1,0 +1,256 @@
+"""Dynamic micro-batching for the serving daemon.
+
+Concurrent clients typically send small (often B=1) requests. Dispatching
+each as its own device call wastes the TPU: one B=16 reconstruct costs
+~73 ms on a v5e while sixteen serialized B=1 calls cost ~16x the B=1
+latency. This module coalesces concurrent requests for the SAME
+(function, modality, per-sample shape) into one device call, padded up to
+a power-of-two bucket so the number of compiled batch specializations
+stays bounded (exported functions have a symbolic batch dim, but every
+concrete size still compiles once — see serving/server.py warmup notes).
+
+The reference has no serving daemon at all (its inference story ends at
+the Python API, /root/reference/eo_vae/models/new_autoencoder.py:223-268);
+this is a beyond-parity production feature.
+
+Design:
+- One dispatcher thread per key, created on first use. A request arrives,
+  the dispatcher opens a window of ``max_wait_ms`` (or until ``max_batch``
+  samples are pending), concatenates everything that arrived, pads to the
+  next bucket, runs ONE device call under the server's dispatch lock, and
+  splits the result back per request.
+- Keys isolate failures: a request with a bad modality or an odd shape
+  can only ever share a batch with identically-keyed requests, so its
+  error (404/500) never poisons well-formed traffic.
+- ``super_resolve`` is NOT batched by the server: its per-request scalar
+  seed is an argument of the one exported call, so coalescing requests
+  with different seeds would change their results.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+#: Bucket ladder — padded batch sizes we allow XLA to specialize on.
+_LADDER = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+class _Request:
+    __slots__ = ("x", "n", "event", "result", "error", "t0")
+
+    def __init__(self, x: np.ndarray):
+        self.x = x
+        self.n = int(x.shape[0])
+        self.event = threading.Event()
+        self.result = None
+        self.error: BaseException | None = None
+        self.t0 = time.monotonic()
+
+
+class _KeyQueue:
+    __slots__ = ("cv", "pending", "closed")
+
+    def __init__(self):
+        self.cv = threading.Condition()
+        self.pending: list[_Request] = []
+        self.closed = False
+
+
+class MicroBatcher:
+    """Coalesce concurrent ServedModel calls into bucketed device batches.
+
+    ``lock`` must be the same lock the HTTP handlers use for unbatched
+    dispatch (super_resolve), so batched and unbatched device calls stay
+    serialized on the single device stream.
+    """
+
+    def __init__(self, served, lock: threading.Lock,
+                 max_batch: int = 16, max_wait_ms: float = 3.0):
+        if max_batch < 2:
+            raise ValueError(f"max_batch must be >= 2, got {max_batch}")
+        self._served = served
+        self._lock = lock
+        self._max_batch = int(max_batch)
+        self._wait_s = float(max_wait_ms) / 1e3
+        ladder = [b for b in _LADDER if b < max_batch] + [int(max_batch)]
+        # Mesh-sharded serving (ServedModel.with_mesh): a batch not
+        # divisible by the device count silently replicates (1/N
+        # efficiency) — round each bucket up to a device-count multiple
+        # so every coalesced dispatch actually shards.
+        mesh = getattr(served, "_mesh", None)
+        self._round = int(mesh.devices.size) if mesh is not None else 1
+        if self._round > 1:
+            n = self._round
+            ladder = [max(n, -(-b // n) * n) for b in ladder]
+        self.buckets = sorted(set(ladder))
+        self._queues: dict[tuple, _KeyQueue] = {}
+        self._queues_lock = threading.Lock()
+        self._threads: list[threading.Thread] = []
+        self._closed = False
+        self._stats_lock = threading.Lock()
+        self._stats: dict[str, dict] = {}
+
+    # ---- client side ----------------------------------------------------
+
+    def submit(self, name: str, modality: str | None, x: np.ndarray,
+               timeout_s: float = 600.0):
+        """Block until the coalesced device call for ``x`` completes.
+
+        Raises whatever the underlying ServedModel call raised (KeyError
+        for a function/modality not in the artifact, etc.). ``modality``
+        None means "use the method's default" — identical semantics to
+        calling the ServedModel method without the kwarg.
+        """
+        x = np.asarray(x)
+        if x.ndim < 1 or x.shape[0] == 0:
+            raise ValueError(
+                f"batchable request needs a non-empty leading batch dim, "
+                f"got shape {x.shape}")
+        key = (name, modality, tuple(x.shape[1:]))
+        q = self._queue_for(key)
+        req = _Request(x)
+        with q.cv:
+            if q.closed:
+                raise RuntimeError("MicroBatcher is closed")
+            q.pending.append(req)
+            q.cv.notify_all()
+        if not req.event.wait(timeout=timeout_s):
+            raise TimeoutError(f"batched call {key} timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # ---- dispatcher side ------------------------------------------------
+
+    def _queue_for(self, key: tuple) -> _KeyQueue:
+        with self._queues_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            q = self._queues.get(key)
+            if q is None:
+                q = self._queues[key] = _KeyQueue()
+                t = threading.Thread(
+                    target=self._loop, args=(key, q), daemon=True,
+                    name=f"microbatch-{key[0]}")
+                self._threads.append(t)
+                t.start()
+            return q
+
+    def _loop(self, key: tuple, q: _KeyQueue) -> None:
+        while True:
+            with q.cv:
+                while not q.pending and not q.closed:
+                    q.cv.wait()
+                if q.closed and not q.pending:
+                    return
+                # Batching window: from the first pending request, wait up
+                # to max_wait_ms for more traffic (or until full).
+                deadline = time.monotonic() + self._wait_s
+                while (sum(r.n for r in q.pending) < self._max_batch
+                       and not q.closed):
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    q.cv.wait(timeout=left)
+                take: list[_Request] = []
+                total = 0
+                while q.pending:
+                    nxt = q.pending[0]
+                    # Always take the head (an oversize single request
+                    # passes through whole); stop before overflowing.
+                    if take and total + nxt.n > self._max_batch:
+                        break
+                    take.append(q.pending.pop(0))
+                    total += nxt.n
+            self._execute(key, take, total)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        # Oversize request: dispatch at its own size (rounded up to a
+        # device-count multiple under mesh serving so it still shards).
+        return -(-n // self._round) * self._round
+
+    def _execute(self, key: tuple, take: list[_Request], total: int) -> None:
+        name, modality, _ = key
+        wait_ms = (time.monotonic() - take[0].t0) * 1e3
+        try:
+            xs = (np.concatenate([r.x for r in take], axis=0)
+                  if len(take) > 1 else take[0].x)
+            bucket = self._bucket(total)
+            if bucket > total:
+                pad = np.zeros((bucket - total,) + xs.shape[1:], xs.dtype)
+                xs = np.concatenate([xs, pad], axis=0)
+            kw = {} if modality is None else {"modality": modality}
+            with self._lock:
+                y = np.asarray(getattr(self._served, name)(xs, **kw))
+        except BaseException as e:  # propagate to every waiter, keep serving
+            for r in take:
+                r.error = e
+                r.event.set()
+            return
+        off = 0
+        for r in take:
+            r.result = y[off:off + r.n]
+            off += r.n
+            r.event.set()
+        self._record(name, len(take), total, bucket - total, wait_ms)
+
+    # ---- stats / lifecycle ------------------------------------------------
+
+    _WINDOW = 512
+
+    def _record(self, name: str, n_reqs: int, samples: int, padded: int,
+                wait_ms: float) -> None:
+        with self._stats_lock:
+            d = self._stats.setdefault(name, {
+                "batches": 0, "requests": 0, "samples": 0, "padded": 0,
+                "max_samples": 0, "waits": []})
+            d["batches"] += 1
+            d["requests"] += n_reqs
+            d["samples"] += samples
+            d["padded"] += padded
+            d["max_samples"] = max(d["max_samples"], samples)
+            d["waits"].append(wait_ms)
+            if len(d["waits"]) > self._WINDOW:
+                d["waits"] = d["waits"][-self._WINDOW:]
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            out = {}
+            for name, d in self._stats.items():
+                waits = np.asarray(d["waits"]) if d["waits"] else None
+                dispatched = d["samples"] + d["padded"]
+                out[name] = {
+                    "batches": d["batches"],
+                    "requests": d["requests"],
+                    "samples": d["samples"],
+                    "mean_samples_per_batch": round(
+                        d["samples"] / d["batches"], 2),
+                    "max_samples_per_batch": d["max_samples"],
+                    "pad_waste_pct": round(100.0 * d["padded"] / dispatched, 1),
+                    **({} if waits is None else {
+                        "queue_wait_p50_ms": round(
+                            float(np.percentile(waits, 50)), 2),
+                        "queue_wait_p99_ms": round(
+                            float(np.percentile(waits, 99)), 2),
+                    }),
+                }
+            return out
+
+    def close(self, join_timeout_s: float = 5.0) -> None:
+        """Stop every dispatcher thread once its queue drains."""
+        with self._queues_lock:
+            self._closed = True
+            queues = list(self._queues.values())
+            threads = list(self._threads)
+        for q in queues:
+            with q.cv:
+                q.closed = True
+                q.cv.notify_all()
+        for t in threads:
+            t.join(timeout=join_timeout_s)

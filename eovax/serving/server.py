@@ -111,6 +111,7 @@ class _Handler(BaseHTTPRequestHandler):
     served = None
     lock: threading.Lock = None
     metrics: _Metrics = None
+    batcher = None  # MicroBatcher when dynamic batching is enabled
     quiet = True
 
     protocol_version = "HTTP/1.1"
@@ -136,7 +137,11 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/v1/manifest":
             self._json(200, self.served._manifest)
         elif path == "/metrics":
-            self._json(200, self.metrics.snapshot())
+            snap = self.metrics.snapshot()
+            if self.batcher is not None:
+                # leading underscore: can never collide with a function name
+                snap["_batching"] = self.batcher.stats()
+            self._json(200, snap)
         else:
             self._json(404, {"error": f"unknown path {path!r}"})
 
@@ -179,15 +184,22 @@ class _Handler(BaseHTTPRequestHandler):
 
         t0 = time.perf_counter()
         try:
-            with self.lock:
-                if name == "super_resolve":
-                    y = self.served.super_resolve(x, seed=seed)
-                else:
-                    kw = {}
-                    if "modality" in q:
-                        kw["modality"] = q["modality"][0]
-                    y = getattr(self.served, name)(x, **kw)
-                body = _npy_bytes(y)  # device fetch — count it as latency
+            # super_resolve never batches: its per-request seed is baked
+            # into the one exported call (see batching.py module notes).
+            if self.batcher is not None and name != "super_resolve":
+                modality = q["modality"][0] if "modality" in q else None
+                y = self.batcher.submit(name, modality, x)
+                body = _npy_bytes(y)
+            else:
+                with self.lock:
+                    if name == "super_resolve":
+                        y = self.served.super_resolve(x, seed=seed)
+                    else:
+                        kw = {}
+                        if "modality" in q:
+                            kw["modality"] = q["modality"][0]
+                        y = getattr(self.served, name)(x, **kw)
+                    body = _npy_bytes(y)  # device fetch — count as latency
         except KeyError as e:
             # function/modality not in this artifact
             self.metrics.record(name, 0.0, error=True)
@@ -206,19 +218,43 @@ class _Handler(BaseHTTPRequestHandler):
             self.close_connection = True
 
 
+class _Server(ThreadingHTTPServer):
+    batcher = None
+
+    def server_close(self):
+        super().server_close()
+        if self.batcher is not None:
+            self.batcher.close()
+
+
 def make_server(served, host: str = "127.0.0.1", port: int = 8000,
-                quiet: bool = True) -> ThreadingHTTPServer:
+                quiet: bool = True, max_batch: int = 0,
+                batch_wait_ms: float = 3.0) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server for a :class:`ServedModel`.
 
     ``port=0`` binds an ephemeral port — read it back from
     ``server.server_address[1]``. Call ``serve_forever()`` (blocking) or
-    run it on a thread; ``shutdown()`` stops it.
+    run it on a thread; ``shutdown()`` stops it (then ``server_close()``
+    releases the port and the batching threads).
+
+    ``max_batch >= 2`` enables dynamic micro-batching: concurrent requests
+    for the same (function, modality, shape) coalesce into one device call
+    within a ``batch_wait_ms`` window (see eovax/serving/batching.py).
     """
+    lock = threading.Lock()
+    batcher = None
+    if max_batch >= 2:
+        from eovax.serving.batching import MicroBatcher
+
+        batcher = MicroBatcher(served, lock, max_batch=max_batch,
+                               max_wait_ms=batch_wait_ms)
     handler = type("Handler", (_Handler,), {
-        "served": served, "lock": threading.Lock(), "metrics": _Metrics(),
-        "quiet": quiet,
+        "served": served, "lock": lock, "metrics": _Metrics(),
+        "batcher": batcher, "quiet": quiet,
     })
-    return ThreadingHTTPServer((host, port), handler)
+    server = _Server((host, port), handler)
+    server.batcher = batcher
+    return server
 
 
 def warmup(served, batch_sizes=(1,), seed: int = 0) -> list[str]:

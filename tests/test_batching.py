@@ -1,0 +1,327 @@
+"""MicroBatcher unit tests (no jax — a fake ServedModel exercises the
+coalescing, bucketing, error-isolation, and lifecycle logic fast), plus
+an HTTP integration test against a real exported artifact (slow tier).
+
+The batcher is a beyond-reference serving feature (the reference has no
+daemon at all); correctness contract: every concurrent client gets
+exactly the result a direct ServedModel call on its own input would
+return, regardless of how requests were coalesced, padded, or bucketed.
+"""
+
+import io
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from eovax.serving.batching import MicroBatcher
+
+
+class _FakeServed:
+    """Per-sample-deterministic stand-in: y[i] depends only on x[i], so
+    any batching/padding that leaks across samples breaks the tests."""
+
+    def __init__(self):
+        self.calls = []  # (name, modality, batch_size)
+        self._lock = threading.Lock()
+
+    def reconstruct(self, x, modality="S2L2A"):
+        if modality not in ("S2RGB", "S2L2A"):
+            raise KeyError(f"modality {modality!r} not in artifact")
+        with self._lock:
+            self.calls.append(("reconstruct", modality, x.shape[0]))
+        return x * 2.0 + (1.0 if modality == "S2RGB" else 0.0)
+
+    def encode_spatial_normalized(self, x, modality="S2L2A"):
+        with self._lock:
+            self.calls.append(("encode", modality, x.shape[0]))
+        return -x
+
+
+def _batcher(served=None, **kw):
+    served = served or _FakeServed()
+    return served, MicroBatcher(served, threading.Lock(), **kw)
+
+
+def test_coalesces_concurrent_requests_and_routes_results():
+    served, mb = _batcher(max_batch=8, max_wait_ms=200.0)
+    xs = [np.full((1, 3, 4, 4), float(i), np.float32) for i in range(6)]
+    results = [None] * 6
+
+    def client(i):
+        results[i] = mb.submit("reconstruct", "S2RGB", xs[i])
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for i in range(6):
+        np.testing.assert_array_equal(results[i], xs[i] * 2.0 + 1.0)
+    # All 6 should coalesce into far fewer device calls (the 200 ms
+    # window is huge relative to thread startup); every dispatched batch
+    # is a ladder bucket.
+    assert len(served.calls) < 6
+    assert all(b in (1, 2, 4, 8) for _, _, b in served.calls)
+    s = mb.stats()["reconstruct"]
+    assert s["requests"] == 6 and s["samples"] == 6
+    assert s["max_samples_per_batch"] >= 2
+    mb.close()
+
+
+def test_pads_to_bucket_and_slices_result():
+    served, mb = _batcher(max_batch=8, max_wait_ms=500.0)
+    out = [None, None]
+    barrier = threading.Barrier(3)
+
+    def client(i, x):
+        barrier.wait()
+        out[i] = mb.submit("reconstruct", "S2L2A", x)
+
+    x0 = np.ones((1, 2, 2, 2), np.float32)
+    x1 = np.full((2, 2, 2, 2), 3.0, np.float32)
+    t0 = threading.Thread(target=client, args=(0, x0))
+    t1 = threading.Thread(target=client, args=(1, x1))
+    t0.start(); t1.start(); barrier.wait()
+    t0.join(timeout=60); t1.join(timeout=60)
+    np.testing.assert_array_equal(out[0], x0 * 2.0)
+    np.testing.assert_array_equal(out[1], x1 * 2.0)
+    # 3 samples pad to the 4-bucket (when coalesced into one dispatch).
+    assert all(b in (1, 2, 4) for _, _, b in served.calls)
+    if len(served.calls) == 1:
+        assert served.calls[0][2] == 4
+        assert mb.stats()["reconstruct"]["pad_waste_pct"] == 25.0
+    mb.close()
+
+
+def test_oversize_request_passes_through_whole():
+    served, mb = _batcher(max_batch=4, max_wait_ms=1.0)
+    x = np.arange(7 * 2 * 2 * 2, dtype=np.float32).reshape(7, 2, 2, 2)
+    y = mb.submit("reconstruct", "S2L2A", x)
+    np.testing.assert_array_equal(y, x * 2.0)
+    assert served.calls == [("reconstruct", "S2L2A", 7)]
+    mb.close()
+
+
+def test_keys_isolate_modalities_shapes_and_errors():
+    served, mb = _batcher(max_batch=8, max_wait_ms=100.0)
+    ok, errs = {}, {}
+
+    def good(i, modality, shape):
+        x = np.full(shape, float(i), np.float32)
+        ok[i] = (mb.submit("reconstruct", modality, x),
+                 x * 2.0 + (1.0 if modality == "S2RGB" else 0.0))
+
+    def bad(i):
+        try:
+            mb.submit("reconstruct", "NOPE",
+                      np.zeros((1, 3, 4, 4), np.float32))
+        except KeyError as e:
+            errs[i] = e
+
+    threads = (
+        [threading.Thread(target=good, args=(i, "S2RGB", (1, 3, 4, 4)))
+         for i in range(2)]
+        + [threading.Thread(target=good, args=(i, "S2L2A", (1, 3, 8, 8)))
+           for i in range(2, 4)]
+        + [threading.Thread(target=bad, args=(i,)) for i in range(2)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    # Bad-modality requests fail with KeyError; every good request is
+    # untouched by them (separate key -> separate batch).
+    assert len(errs) == 2
+    for got, want in ok.values():
+        np.testing.assert_array_equal(got, want)
+    # No dispatched batch ever mixed modalities or shapes: per-call batch
+    # sizes must be consistent with single-key coalescing only.
+    assert all(m in ("S2RGB", "S2L2A", "NOPE") for _, m, _ in served.calls)
+    mb.close()
+
+
+def test_submit_rejects_empty_and_scalar():
+    _, mb = _batcher(max_batch=4)
+    with pytest.raises(ValueError):
+        mb.submit("reconstruct", None, np.float32(3.0))
+    with pytest.raises(ValueError):
+        mb.submit("reconstruct", None, np.zeros((0, 3, 4, 4), np.float32))
+    mb.close()
+
+
+def test_default_modality_matches_method_default():
+    served, mb = _batcher(max_batch=4, max_wait_ms=1.0)
+    x = np.ones((1, 2, 2, 2), np.float32)
+    y = mb.submit("reconstruct", None, x)
+    np.testing.assert_array_equal(y, x * 2.0)  # S2L2A default: no +1
+    assert served.calls[0][1] == "S2L2A"
+    mb.close()
+
+
+def test_close_drains_then_rejects():
+    _, mb = _batcher(max_batch=4, max_wait_ms=1.0)
+    x = np.ones((1, 2, 2, 2), np.float32)
+    mb.submit("reconstruct", "S2L2A", x)  # spin up the key thread
+    mb.close()
+    with pytest.raises(RuntimeError):
+        mb.submit("reconstruct", "S2L2A", x)
+
+
+def test_mesh_rounds_buckets_to_device_multiples():
+    """Under ServedModel.with_mesh, a batch not divisible by the device
+    count replicates (1/N efficiency) — every bucket, including the
+    oversize fallback, must be a device-count multiple."""
+    served = _FakeServed()
+    served._mesh = type("M", (), {"devices": np.zeros(8)})()
+    mb = MicroBatcher(served, threading.Lock(), max_batch=16,
+                      max_wait_ms=1.0)
+    assert mb.buckets == [8, 16]
+    assert mb._bucket(1) == 8 and mb._bucket(9) == 16
+    assert mb._bucket(17) == 24  # oversize: next multiple of 8
+    y = mb.submit("reconstruct", "S2L2A", np.ones((1, 2, 2, 2), np.float32))
+    np.testing.assert_array_equal(y, np.ones((1, 2, 2, 2), np.float32) * 2.0)
+    assert served.calls[0][2] == 8  # B=1 padded to the sharded bucket
+    mb.close()
+
+
+def test_dispatch_serializes_with_external_lock():
+    """Batched device calls must hold the shared lock — the daemon relies
+    on this to serialize with unbatched (super_resolve) dispatch."""
+    lock = threading.Lock()
+    seen = []
+
+    class _LockProbe:
+        def reconstruct(self, x, modality="S2L2A"):
+            seen.append(lock.locked())
+            return x
+
+    mb = MicroBatcher(_LockProbe(), lock, max_batch=4, max_wait_ms=1.0)
+    mb.submit("reconstruct", None, np.ones((1, 2), np.float32))
+    assert seen == [True]
+    mb.close()
+
+
+@pytest.mark.slow
+def test_microbatcher_mesh_sharded_dispatch(tmp_path):
+    """Batching over a mesh-sharded ServedModel: a coalesced B=1 request
+    pads to the 8-device bucket, genuinely shards, and returns the same
+    result as the unsharded direct call."""
+    from eovax.core.config import (DecoderConfig, EncoderConfig, StemConfig,
+                                   VAEConfig)
+    from eovax.models.eo_flux_vae import EOFluxVAE
+    from eovax.parallel.mesh import DATA_AXIS, make_mesh
+    from eovax.serving import MicroBatcher, ServedModel, export_model
+
+    stem = StemConfig(num_layers=1, wv_planes=64)
+    cfg = VAEConfig(
+        encoder=EncoderConfig(resolution=32, in_channels=3, ch=32,
+                              ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+                              use_dynamic_ops=True, stem=stem),
+        decoder=DecoderConfig(resolution=32, out_ch=3, ch=32, ch_mult=(1, 2),
+                              num_res_blocks=1, z_channels=8,
+                              use_dynamic_ops=True, stem=stem),
+    )
+    model = EOFluxVAE(cfg, seed=0)
+    out = str(tmp_path / "artifact")
+    export_model(model, out, modalities=("S2RGB",), resolution=32)
+    served = ServedModel.load(out)
+    mesh = make_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+    sharded = served.with_mesh(mesh)
+
+    mb = MicroBatcher(sharded, threading.Lock(), max_batch=16,
+                      max_wait_ms=50.0)
+    assert mb.buckets == [8, 16]
+    x = np.random.default_rng(11).standard_normal(
+        (1, 3, 32, 32)).astype(np.float32)
+    y = mb.submit("reconstruct", "S2RGB", x)
+    ref = np.asarray(served.reconstruct(x, modality="S2RGB"))
+    np.testing.assert_allclose(y, ref, atol=2e-5, rtol=2e-5)
+    s = mb.stats()["reconstruct"]
+    assert s["samples"] == 1 and s["pad_waste_pct"] == 87.5  # 1 of 8
+    mb.close()
+
+
+@pytest.mark.slow
+def test_http_microbatching_end_to_end(tmp_path):
+    """Full daemon with --max-batch semantics: concurrent B=1 clients get
+    bit-identical results to direct per-request calls, /metrics reports
+    the coalescing, and super_resolve-free artifacts keep all routes."""
+    import json
+    import urllib.request
+
+    from eovax.core.config import (DecoderConfig, EncoderConfig, StemConfig,
+                                   VAEConfig)
+    from eovax.models.eo_flux_vae import EOFluxVAE
+    from eovax.serving import ServedModel, export_model
+    from eovax.serving.server import make_server, warmup
+
+    stem = StemConfig(num_layers=1, wv_planes=64)
+    cfg = VAEConfig(
+        encoder=EncoderConfig(resolution=32, in_channels=3, ch=32,
+                              ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+                              use_dynamic_ops=True, stem=stem),
+        decoder=DecoderConfig(resolution=32, out_ch=3, ch=32, ch_mult=(1, 2),
+                              num_res_blocks=1, z_channels=8,
+                              use_dynamic_ops=True, stem=stem),
+    )
+    model = EOFluxVAE(cfg, seed=0)
+    out = str(tmp_path / "artifact")
+    export_model(model, out, modalities=("S2RGB",), resolution=32)
+    served = ServedModel.load(out)
+    warmup(served, batch_sizes=(1, 2, 4, 8))  # the bucket ladder
+
+    httpd = make_server(served, port=0, max_batch=8, batch_wait_ms=250.0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rng = np.random.default_rng(7)
+        xs = [rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+              for _ in range(6)]
+        refs = [np.asarray(served.reconstruct(x, modality="S2RGB"))
+                for x in xs]
+        results, errors = [None] * 6, []
+
+        def client(i):
+            try:
+                buf = io.BytesIO()
+                np.save(buf, xs[i])
+                req = urllib.request.Request(
+                    f"{base}/v1/reconstruct?modality=S2RGB",
+                    data=buf.getvalue())
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    results[i] = np.load(io.BytesIO(r.read()),
+                                         allow_pickle=False)
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert not errors, errors
+        for i in range(6):
+            # Same exported function, same weights; padding/bucketing must
+            # not perturb per-sample results beyond batch-tiling noise.
+            np.testing.assert_allclose(results[i], refs[i],
+                                       atol=1e-5, rtol=1e-5)
+
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+            m = json.load(r)
+        assert m["reconstruct"]["count"] == 6
+        b = m["_batching"]["reconstruct"]
+        assert b["requests"] == 6 and b["samples"] == 6
+        assert b["batches"] < 6  # coalescing actually happened
+        assert b["max_samples_per_batch"] >= 2
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
+        httpd.server_close()  # also stops the batching threads
+    assert httpd.batcher._threads and not any(
+        th.is_alive() for th in httpd.batcher._threads)
