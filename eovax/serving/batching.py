@@ -187,7 +187,16 @@ class MicroBatcher:
                 xs = np.concatenate([xs, pad], axis=0)
             kw = {} if modality is None else {"modality": modality}
             with self._lock:
-                y = np.asarray(getattr(self._served, name)(xs, **kw))
+                y = getattr(self._served, name)(xs, **kw)
+                if bucket > total:
+                    # Slice the pad rows off ON DEVICE before the host
+                    # fetch: D2H then costs `total` rows, not `bucket`.
+                    # (Measured: fetching pad rows erased the batching win
+                    # on hosts where D2H dominates — ARCHITECTURE.md
+                    # round-4 serving notes. Slice shapes are bounded by
+                    # bucket x total <= max_batch^2 tiny compiles.)
+                    y = y[:total]
+                y = np.asarray(y)
         except BaseException as e:  # propagate to every waiter, keep serving
             for r in take:
                 r.error = e

@@ -10,12 +10,14 @@ from first send to last response — a full host-clock, value-fetched
 measure, immune to the tunnel's early-return block_until_ready quirk
 (ARCHITECTURE.md round-4 notes).
 
-Caveats stated up front: on this host every device dispatch pays a
-~26-30 ms tunnel RTT, which batching amortizes — the measured ratio
-therefore OVERSTATES the on-metal win (where per-dispatch overhead is
-~10x smaller); the per-batch device compute ratio (B=16 in one call vs
-16 serialized B=1 calls) is the hardware-intrinsic part. One CPU core
-serializes the .npy encode/decode of all clients in both modes.
+Caveats stated up front: on this host the HTTP numbers are HOST-bound,
+not device-bound — one CPU core serializes every client's .npy
+encode/decode and the tunnel caps D2H, so the end-to-end ratio
+UNDERSTATES the on-metal win (first measured run even showed a 0.69x
+"win" before pad rows were device-sliced off the fetch). The
+hardware-intrinsic part is the device-compute ratio — N serialized B=1
+calls vs one B=N call — which the --device-only section measures
+directly on the ServedModel, no HTTP in the loop.
 
 Usage: python scripts/bench_serving_batched.py [--clients 8] [--requests 6]
 """
@@ -64,12 +66,43 @@ def _drive(port: int, clients: int, requests: int, x_bytes: bytes):
     return time.perf_counter() - t0, errors
 
 
+def _device_intrinsic(served, np, batch: int) -> dict:
+    """The hardware half of the story: device compute of one B=N call vs
+    N back-to-back B=1 calls, measured with the repo's chained-slope
+    methodology (eovax/utils/slopetime.py) so per-dispatch tunnel RTT and
+    D2H fetch cancel out of the ratio — a naive value-fetched wall clock
+    on this host measures the ~30 MB/s tunnel, not the chip."""
+    import jax.numpy as jnp
+
+    from eovax.utils.slopetime import chained_ms
+
+    exp = served._fn("reconstruct", "S2L2A")
+
+    def body(v, y):
+        return jnp.tanh(exp.call(v, y)).astype(jnp.float32)
+
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.standard_normal(
+        (batch, 12, 256, 256)).astype(np.float32))
+    ms_b1 = chained_ms(body, xs[:1], served._variables)
+    ms_bn = chained_ms(body, xs, served._variables)
+    return {
+        "batch": batch,
+        "b1_ms_per_call": round(ms_b1, 2),
+        "coalesced_ms": round(ms_bn, 2),
+        "device_speedup": round(batch * ms_b1 / ms_bn, 2),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--clients", type=int, default=8)
     parser.add_argument("--requests", type=int, default=6)
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--batch-wait-ms", type=float, default=5.0)
+    parser.add_argument("--device-only", action="store_true",
+                        help="skip the HTTP modes; measure only the "
+                        "device-intrinsic serialized-vs-coalesced ratio")
     args = parser.parse_args()
 
     import numpy as np
@@ -121,6 +154,15 @@ def main() -> None:
         warmup(served, batch_sizes=tuple(buckets))
         print(f"warmed buckets {buckets}", flush=True)
 
+        result = {"clients": args.clients, "requests_per_client":
+                  args.requests, "batch_per_request": 1}
+        result["device_intrinsic"] = _device_intrinsic(
+            served, np, batch=args.max_batch)
+        print(f"device_intrinsic: {result['device_intrinsic']}", flush=True)
+        if args.device_only:
+            print("JSON_RESULT:" + json.dumps(result), flush=True)
+            return
+
         x = np.random.default_rng(0).standard_normal(
             (1, 12, 256, 256)).astype(np.float32)
         buf = io.BytesIO()
@@ -128,8 +170,6 @@ def main() -> None:
         x_bytes = buf.getvalue()
 
         total = args.clients * args.requests
-        result = {"clients": args.clients, "requests_per_client":
-                  args.requests, "batch_per_request": 1}
         for mode, max_batch in (("unbatched", 0), ("batched", args.max_batch)):
             httpd = make_server(served, port=0, max_batch=max_batch,
                                 batch_wait_ms=args.batch_wait_ms)

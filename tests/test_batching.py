@@ -186,6 +186,47 @@ def test_mesh_rounds_buckets_to_device_multiples():
     mb.close()
 
 
+def test_pad_rows_sliced_off_before_host_fetch():
+    """The dispatcher must slice pad rows off while the result is still
+    a device array: D2H cost scales with real samples, not bucket size
+    (fetching pad rows measurably erased the batching win on D2H-bound
+    hosts — ARCHITECTURE.md round-4 serving notes)."""
+    fetched_rows = []
+
+    class _DeviceArray:  # records the batch size at host-fetch time
+        def __init__(self, a):
+            self._a = a
+
+        def __getitem__(self, s):
+            return _DeviceArray(self._a[s])
+
+        def __array__(self, dtype=None, copy=None):
+            fetched_rows.append(self._a.shape[0])
+            return self._a
+
+    class _DeviceServed:
+        def reconstruct(self, x, modality="S2L2A"):
+            return _DeviceArray(np.asarray(x) * 2.0)
+
+    mb = MicroBatcher(_DeviceServed(), threading.Lock(), max_batch=8,
+                      max_wait_ms=200.0)
+    xs = [np.full((1, 2, 2), float(i), np.float32) for i in range(3)]
+    out = [None] * 3
+    threads = [threading.Thread(
+        target=lambda i=i: out.__setitem__(
+            i, mb.submit("reconstruct", None, xs[i]))) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for i in range(3):
+        np.testing.assert_array_equal(out[i], xs[i] * 2.0)
+    # Every host fetch was <= the real sample count of its batch (3 when
+    # fully coalesced), never the padded 4-bucket.
+    assert fetched_rows and all(r <= 3 for r in fetched_rows), fetched_rows
+    mb.close()
+
+
 def test_dispatch_serializes_with_external_lock():
     """Batched device calls must hold the shared lock — the daemon relies
     on this to serialize with unbatched (super_resolve) dispatch."""
