@@ -65,14 +65,27 @@ def main(argv=None) -> None:
                         quiet=not args.verbose, max_batch=args.max_batch,
                         batch_wait_ms=args.batch_wait_ms)
     if httpd.batcher is not None:
-        # Pre-compile the bucket ladder: batched traffic dispatches at
-        # bucket sizes, and each concrete size compiles once at call time.
-        warm_batches = sorted(set(warm_batches) | set(httpd.batcher.buckets))
         print(f"micro-batching on: max_batch={args.max_batch}, "
               f"window={args.batch_wait_ms} ms, "
               f"buckets={httpd.batcher.buckets}")
+    warmed = []
     if warm_batches:
-        warmed = warmup(served, batch_sizes=tuple(warm_batches))
+        warmed += warmup(served, batch_sizes=tuple(warm_batches))
+    if httpd.batcher is not None and args.warmup:
+        # Pre-compile the bucket ladder for the BATCHABLE functions only:
+        # batched traffic dispatches at bucket sizes and each concrete
+        # size compiles once at call time, but super_resolve never
+        # batches — warming its (expensive, full-DDIM) call at every
+        # bucket would be pure waste. An explicit `--warmup` with no
+        # values skips all warmup, buckets included (operator's call).
+        extra = sorted(set(httpd.batcher.buckets) - set(warm_batches))
+        if extra:
+            batchable = {k.split(".")[0]
+                         for k in served._manifest["functions"]} - \
+                {"super_resolve"}
+            warmed += warmup(served, batch_sizes=tuple(extra),
+                             functions=batchable)
+    if warmed:
         print(f"warmed {len(warmed)} function×batch combinations")
     host, port = httpd.server_address[:2]
     fns = ", ".join(sorted(served._manifest["functions"]))

@@ -19,9 +19,11 @@ Design:
   samples are pending), concatenates everything that arrived, pads to the
   next bucket, runs ONE device call under the server's dispatch lock, and
   splits the result back per request.
-- Keys isolate failures: a request with a bad modality or an odd shape
-  can only ever share a batch with identically-keyed requests, so its
-  error (404/500) never poisons well-formed traffic.
+- Keys isolate failures: a request with a bad modality, an odd shape, or
+  an odd dtype can only ever share a batch with identically-keyed
+  requests, so its error (404/500) never poisons well-formed traffic.
+  Idle keys are reclaimed after ``idle_key_ttl_s`` (clients choose the
+  key, so per-key threads must not accumulate without bound).
 - ``super_resolve`` is NOT batched by the server: its per-request scalar
   seed is an argument of the one exported call, so coalescing requests
   with different seeds would change their results.
@@ -33,6 +35,8 @@ import threading
 import time
 
 import numpy as np
+
+from eovax.serving._window import LatencyWindow
 
 #: Bucket ladder — padded batch sizes we allow XLA to specialize on.
 _LADDER = (1, 2, 4, 8, 16, 32, 64, 128)
@@ -68,13 +72,18 @@ class MicroBatcher:
     """
 
     def __init__(self, served, lock: threading.Lock,
-                 max_batch: int = 16, max_wait_ms: float = 3.0):
+                 max_batch: int = 16, max_wait_ms: float = 3.0,
+                 idle_key_ttl_s: float = 60.0):
         if max_batch < 2:
             raise ValueError(f"max_batch must be >= 2, got {max_batch}")
         self._served = served
         self._lock = lock
         self._max_batch = int(max_batch)
         self._wait_s = float(max_wait_ms) / 1e3
+        # Dispatcher threads are created per unique key; clients choose the
+        # key (shape/dtype are theirs), so an idle TTL reclaims threads and
+        # queues or a shape-fuzzing client grows them without bound.
+        self._idle_ttl = float(idle_key_ttl_s)
         ladder = [b for b in _LADDER if b < max_batch] + [int(max_batch)]
         # Mesh-sharded serving (ServedModel.with_mesh): a batch not
         # divisible by the device count silently replicates (1/N
@@ -88,7 +97,7 @@ class MicroBatcher:
         self.buckets = sorted(set(ladder))
         self._queues: dict[tuple, _KeyQueue] = {}
         self._queues_lock = threading.Lock()
-        self._threads: list[threading.Thread] = []
+        self._threads: dict[tuple, threading.Thread] = {}
         self._closed = False
         self._stats_lock = threading.Lock()
         self._stats: dict[str, dict] = {}
@@ -109,15 +118,32 @@ class MicroBatcher:
             raise ValueError(
                 f"batchable request needs a non-empty leading batch dim, "
                 f"got shape {x.shape}")
-        key = (name, modality, tuple(x.shape[1:]))
-        q = self._queue_for(key)
+        if x.dtype.kind not in "fiu":
+            # Reject before enqueueing: a non-numeric payload would fail
+            # inside the coalesced device call.
+            raise ValueError(
+                f"batchable request needs a numeric dtype, got {x.dtype}")
+        # dtype is part of the key: a stray f64 (or otherwise odd-typed)
+        # request must neither promote a whole coalesced f32 batch nor
+        # share its failure with well-typed peers.
+        key = (name, modality, tuple(x.shape[1:]), x.dtype.str)
         req = _Request(x)
-        with q.cv:
-            if q.closed:
-                raise RuntimeError("MicroBatcher is closed")
-            q.pending.append(req)
-            q.cv.notify_all()
+        q = None
+        while True:
+            q = self._queue_for(key)
+            with q.cv:
+                if not q.closed:
+                    q.pending.append(req)
+                    q.cv.notify_all()
+                    break
+            # queue retired (idle TTL) between lookup and append — retry;
+            # a closed *batcher* raises RuntimeError from _queue_for.
         if not req.event.wait(timeout=timeout_s):
+            with q.cv:
+                if req in q.pending:
+                    # never dispatched — withdraw so the dispatcher doesn't
+                    # pay a device call for a client that already errored
+                    q.pending.remove(req)
             raise TimeoutError(f"batched call {key} timed out")
         if req.error is not None:
             raise req.error
@@ -135,20 +161,47 @@ class MicroBatcher:
                 t = threading.Thread(
                     target=self._loop, args=(key, q), daemon=True,
                     name=f"microbatch-{key[0]}")
-                self._threads.append(t)
+                self._threads[key] = t
                 t.start()
             return q
+
+    def _retire(self, key: tuple, q: _KeyQueue) -> bool:
+        """Idle-TTL reclamation: drop this key's queue + thread if still
+        idle. Lock order is _queues_lock -> q.cv (same as close())."""
+        with self._queues_lock:
+            with q.cv:
+                if q.pending:
+                    return False  # traffic raced in — keep serving
+                q.closed = True  # racing submit()s see this and retry
+                if self._queues.get(key) is q:
+                    del self._queues[key]
+                    self._threads.pop(key, None)
+                return True
 
     def _loop(self, key: tuple, q: _KeyQueue) -> None:
         while True:
             with q.cv:
+                idle_deadline = time.monotonic() + self._idle_ttl
                 while not q.pending and not q.closed:
-                    q.cv.wait()
+                    left = idle_deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    q.cv.wait(timeout=left)
                 if q.closed and not q.pending:
                     return
-                # Batching window: from the first pending request, wait up
-                # to max_wait_ms for more traffic (or until full).
-                deadline = time.monotonic() + self._wait_s
+                idle = not q.pending
+            if idle:
+                if self._retire(key, q):
+                    return
+                continue
+            with q.cv:
+                if not q.pending:
+                    continue  # a timed-out submit withdrew the request
+                # Batching window: up to max_wait_ms from the FIRST pending
+                # request's arrival (not from this wake-up — requests that
+                # queued during the previous device call have already
+                # waited; don't add a fresh window on top).
+                deadline = q.pending[0].t0 + self._wait_s
                 while (sum(r.n for r in q.pending) < self._max_batch
                        and not q.closed):
                     left = deadline - time.monotonic()
@@ -165,7 +218,8 @@ class MicroBatcher:
                         break
                     take.append(q.pending.pop(0))
                     total += nxt.n
-            self._execute(key, take, total)
+            if take:
+                self._execute(key, take, total)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -176,7 +230,7 @@ class MicroBatcher:
         return -(-n // self._round) * self._round
 
     def _execute(self, key: tuple, take: list[_Request], total: int) -> None:
-        name, modality, _ = key
+        name, modality = key[0], key[1]
         wait_ms = (time.monotonic() - take[0].t0) * 1e3
         try:
             xs = (np.concatenate([r.x for r in take], axis=0)
@@ -211,28 +265,23 @@ class MicroBatcher:
 
     # ---- stats / lifecycle ------------------------------------------------
 
-    _WINDOW = 512
-
     def _record(self, name: str, n_reqs: int, samples: int, padded: int,
                 wait_ms: float) -> None:
         with self._stats_lock:
             d = self._stats.setdefault(name, {
                 "batches": 0, "requests": 0, "samples": 0, "padded": 0,
-                "max_samples": 0, "waits": []})
+                "max_samples": 0, "waits": LatencyWindow()})
             d["batches"] += 1
             d["requests"] += n_reqs
             d["samples"] += samples
             d["padded"] += padded
             d["max_samples"] = max(d["max_samples"], samples)
-            d["waits"].append(wait_ms)
-            if len(d["waits"]) > self._WINDOW:
-                d["waits"] = d["waits"][-self._WINDOW:]
+            d["waits"].add(wait_ms)
 
     def stats(self) -> dict:
         with self._stats_lock:
             out = {}
             for name, d in self._stats.items():
-                waits = np.asarray(d["waits"]) if d["waits"] else None
                 dispatched = d["samples"] + d["padded"]
                 out[name] = {
                     "batches": d["batches"],
@@ -242,12 +291,7 @@ class MicroBatcher:
                         d["samples"] / d["batches"], 2),
                     "max_samples_per_batch": d["max_samples"],
                     "pad_waste_pct": round(100.0 * d["padded"] / dispatched, 1),
-                    **({} if waits is None else {
-                        "queue_wait_p50_ms": round(
-                            float(np.percentile(waits, 50)), 2),
-                        "queue_wait_p99_ms": round(
-                            float(np.percentile(waits, 99)), 2),
-                    }),
+                    **d["waits"].snapshot(prefix="queue_wait_"),
                 }
             return out
 
@@ -256,7 +300,7 @@ class MicroBatcher:
         with self._queues_lock:
             self._closed = True
             queues = list(self._queues.values())
-            threads = list(self._threads)
+            threads = list(self._threads.values())
         for q in queues:
             with q.cv:
                 q.closed = True

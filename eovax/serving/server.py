@@ -45,6 +45,8 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from eovax.serving._window import LatencyWindow
+
 #: request path segment -> ServedModel method (all take (x, modality=...)
 #: except super_resolve, which takes (x, seed=...)).
 _ROUTES = (
@@ -60,8 +62,6 @@ _MAX_BODY = 1 << 30  # 1 GiB — refuse absurd payloads before allocating
 class _Metrics:
     """Per-function request counters + latency window (last 512 samples)."""
 
-    _WINDOW = 512
-
     def __init__(self):
         self._lock = threading.Lock()
         self._data: dict[str, dict] = {}
@@ -69,30 +69,23 @@ class _Metrics:
     def record(self, name: str, ms: float, error: bool = False) -> None:
         with self._lock:
             d = self._data.setdefault(
-                name, {"count": 0, "errors": 0, "lat": []})
+                name, {"count": 0, "errors": 0, "lat": LatencyWindow()})
             d["count"] += 1
             if error:
                 d["errors"] += 1
             else:
-                d["lat"].append(ms)
-                if len(d["lat"]) > self._WINDOW:
-                    d["lat"] = d["lat"][-self._WINDOW:]
+                d["lat"].add(ms)
 
     def snapshot(self) -> dict:
         with self._lock:
-            out = {}
-            for name, d in self._data.items():
-                lat = np.asarray(d["lat"]) if d["lat"] else None
-                out[name] = {
+            return {
+                name: {
                     "count": d["count"],
                     "errors": d["errors"],
-                    **({} if lat is None else {
-                        "mean_ms": round(float(lat.mean()), 2),
-                        "p50_ms": round(float(np.percentile(lat, 50)), 2),
-                        "p99_ms": round(float(np.percentile(lat, 99)), 2),
-                    }),
+                    **d["lat"].snapshot(mean=True),
                 }
-            return out
+                for name, d in self._data.items()
+            }
 
 
 def _npy_bytes(arr) -> bytes:
@@ -205,6 +198,16 @@ class _Handler(BaseHTTPRequestHandler):
             self.metrics.record(name, 0.0, error=True)
             self._json(404, {"error": str(e)})
             return
+        except ValueError as e:
+            # client-input validation (empty batch, non-numeric dtype,
+            # shape mismatch) — a 400, not a server fault
+            self.metrics.record(name, 0.0, error=True)
+            self._json(400, {"error": str(e)})
+            return
+        except TimeoutError as e:
+            self.metrics.record(name, 0.0, error=True)
+            self._json(504, {"error": str(e)})
+            return
         except Exception as e:
             self.metrics.record(name, 0.0, error=True)
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
@@ -257,16 +260,21 @@ def make_server(served, host: str = "127.0.0.1", port: int = 8000,
     return server
 
 
-def warmup(served, batch_sizes=(1,), seed: int = 0) -> list[str]:
+def warmup(served, batch_sizes=(1,), seed: int = 0,
+           functions=None) -> list[str]:
     """Pre-compile every function in the artifact at the given batch sizes.
 
     Returns the list of warmed "function.modality@B" keys. Uses the
     manifest's input shapes, so it works for both VAE-surface and
-    SR-pipeline artifacts.
+    SR-pipeline artifacts. ``functions`` restricts warming to those
+    function names (e.g. only the batchable ones for bucket warmup —
+    super_resolve never dispatches at bucket sizes).
     """
     warmed = []
     for key, entry in served._manifest["functions"].items():
         name = key.split(".")[0]
+        if functions is not None and name not in functions:
+            continue
         shape = entry["input_shape"]
         for b in batch_sizes:
             x = np.zeros([b] + shape[1:], np.float32)

@@ -227,6 +227,165 @@ def test_pad_rows_sliced_off_before_host_fetch():
     mb.close()
 
 
+def test_dtype_isolates_batches_and_rejects_non_numeric():
+    """dtype is part of the coalescing key: a float64 request must not
+    promote (or poison) a concurrent float32 batch, and a non-numeric
+    payload is rejected before it can fail a coalesced device call."""
+    served, mb = _batcher(max_batch=8, max_wait_ms=200.0)
+    out = {}
+
+    def client(i, dtype):
+        x = np.full((1, 2, 2), float(i), dtype)
+        out[i] = mb.submit("reconstruct", "S2L2A", x)
+
+    threads = [threading.Thread(target=client, args=(0, np.float32)),
+               threading.Thread(target=client, args=(1, np.float64))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert out[0].dtype == np.float32  # not promoted by the f64 peer
+    assert out[1].dtype == np.float64
+    with pytest.raises(ValueError, match="numeric dtype"):
+        mb.submit("reconstruct", "S2L2A", np.array([["a", "b"]]))
+    mb.close()
+
+
+def test_idle_keys_reclaimed_and_key_reusable():
+    """Clients choose the coalescing key (shape/dtype are theirs), so idle
+    dispatcher threads must be reclaimed — a long-lived daemon fuzzed with
+    distinct shapes would otherwise grow threads without bound."""
+    served, mb = _batcher(max_batch=4, max_wait_ms=1.0,
+                          idle_key_ttl_s=0.05)
+    for i in range(3):  # distinct shapes -> distinct keys
+        x = np.ones((1, 2, 2 + i), np.float32)
+        np.testing.assert_array_equal(
+            mb.submit("reconstruct", "S2L2A", x), x * 2.0)
+    deadline = time.monotonic() + 5.0
+    while mb._threads and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert not mb._threads and not mb._queues  # all keys retired
+    # A retired key comes back transparently on the next request.
+    x = np.ones((1, 2, 2), np.float32)
+    np.testing.assert_array_equal(
+        mb.submit("reconstruct", "S2L2A", x), x * 2.0)
+    mb.close()
+
+
+def test_window_runs_from_request_arrival_not_dispatcher_wakeup():
+    """A request that queued during a device call has already waited out
+    (part of) its window — the dispatcher must not restart the full
+    max_wait_ms window when it wakes up."""
+    release = threading.Event()
+    dispatch_times = []
+
+    class _Blocking:
+        def __init__(self):
+            self.first = True
+
+        def reconstruct(self, x, modality="S2L2A"):
+            dispatch_times.append(time.monotonic())
+            if self.first:
+                self.first = False
+                release.wait(timeout=30)
+            return x * 2.0
+
+    mb = MicroBatcher(_Blocking(), threading.Lock(), max_batch=2,
+                      max_wait_ms=600.0)
+    out = [None, None]
+    # Two concurrent B=1s fill max_batch -> dispatch immediately (call 1,
+    # blocked on `release`).
+    t0 = threading.Thread(target=lambda: out.__setitem__(
+        0, mb.submit("reconstruct", None,
+                     np.ones((1, 2, 2), np.float32))))
+    t1 = threading.Thread(target=lambda: out.__setitem__(
+        1, mb.submit("reconstruct", None,
+                     np.ones((1, 2, 2), np.float32))))
+    t0.start(); t1.start()
+    while not dispatch_times:
+        time.sleep(0.005)
+    # Queue a third request while call 1 is in flight, let it age past
+    # the 600 ms window, then release call 1.
+    t2 = threading.Thread(target=lambda: mb.submit(
+        "reconstruct", None, np.ones((1, 2, 2), np.float32)))
+    t2.start()
+    time.sleep(0.7)
+    released_at = time.monotonic()
+    release.set()
+    for t in (t0, t1, t2):
+        t.join(timeout=60)
+    assert len(dispatch_times) == 2
+    # Call 2 must start (nearly) immediately after call 1 returns — the
+    # old bug re-armed a fresh 600 ms window here.
+    assert dispatch_times[1] - released_at < 0.3, \
+        f"window re-armed: {dispatch_times[1] - released_at:.3f}s"
+    mb.close()
+
+
+def test_timed_out_request_is_withdrawn_not_dispatched():
+    """submit() timeout must pull the request back off the queue — the
+    dispatcher should never pay a device call for a client that already
+    got its TimeoutError."""
+    release = threading.Event()
+    calls = []
+
+    class _Blocking:
+        def reconstruct(self, x, modality="S2L2A"):
+            calls.append(int(x.shape[0]))
+            if len(calls) == 1:
+                release.wait(timeout=30)
+            return x * 2.0
+
+    mb = MicroBatcher(_Blocking(), threading.Lock(), max_batch=2,
+                      max_wait_ms=1.0)
+    # Fill call 1 (blocked) with a whole-batch request.
+    t0 = threading.Thread(target=lambda: mb.submit(
+        "reconstruct", None, np.ones((2, 2, 2), np.float32)))
+    t0.start()
+    while not calls:
+        time.sleep(0.005)
+    # This one queues behind the blocked call and times out first.
+    with pytest.raises(TimeoutError):
+        mb.submit("reconstruct", None, np.ones((1, 2, 2), np.float32),
+                  timeout_s=0.15)
+    release.set()
+    t0.join(timeout=60)
+    time.sleep(0.3)  # grace: a zombie dispatch would land here
+    assert calls == [2], f"withdrawn request was dispatched: {calls}"
+    mb.close()
+
+
+def test_http_maps_client_input_errors_to_400():
+    """Validation failures raised by the batched path (empty batch,
+    non-numeric dtype) are the CLIENT's fault and must surface as 400,
+    not 500 — monitoring counts 5xx as server faults."""
+    import urllib.error
+    import urllib.request
+
+    from eovax.serving.server import make_server
+
+    served = _FakeServed()
+    httpd = make_server(served, port=0, max_batch=4)
+    host, port = httpd.server_address[:2]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        for bad in (np.zeros((0, 3, 4, 4), np.float32),  # empty batch
+                    np.array([["a", "b"]])):             # non-numeric
+            buf = io.BytesIO()
+            np.save(buf, bad)
+            req = urllib.request.Request(
+                f"http://{host}:{port}/v1/reconstruct", data=buf.getvalue(),
+                method="POST")
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=30)
+            assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
+        httpd.server_close()
+
+
 def test_dispatch_serializes_with_external_lock():
     """Batched device calls must hold the shared lock — the daemon relies
     on this to serialize with unbatched (super_resolve) dispatch."""
@@ -365,4 +524,4 @@ def test_http_microbatching_end_to_end(tmp_path):
         t.join(timeout=10)
         httpd.server_close()  # also stops the batching threads
     assert httpd.batcher._threads and not any(
-        th.is_alive() for th in httpd.batcher._threads)
+        th.is_alive() for th in httpd.batcher._threads.values())

@@ -728,3 +728,37 @@ def test_export_sr_pipeline_dpmpp2m(tmp_path):
     ref = np.asarray(model.decode_spatial_normalized(
         jnp.transpose(z_hr, (0, 3, 1, 2)), wvs_arr), np.float32)
     np.testing.assert_allclose(y, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_warmup_function_filter():
+    """warmup(functions=...) restricts pre-compiles to those functions —
+    the serve CLI uses this to bucket-warm only BATCHABLE functions
+    (super_resolve never dispatches at bucket sizes, and its full-DDIM
+    compile is the most expensive one in the artifact)."""
+    from eovax.serving.server import warmup
+
+    class _Fake:
+        _manifest = {"functions": {
+            "reconstruct.S2L2A": {"input_shape": [1, 3, 8, 8],
+                                  "modality": "S2L2A"},
+            "super_resolve.S2RGB": {"input_shape": [1, 4, 16, 16],
+                                    "modality": "S2RGB"},
+        }}
+
+        def __init__(self):
+            self.calls = []
+
+        def reconstruct(self, x, modality=None):
+            self.calls.append(("reconstruct", int(x.shape[0])))
+
+        def super_resolve(self, x, seed=0):
+            self.calls.append(("super_resolve", int(x.shape[0])))
+
+    f = _Fake()
+    warmed = warmup(f, batch_sizes=(1, 2), functions={"reconstruct"})
+    assert warmed == ["reconstruct.S2L2A@1", "reconstruct.S2L2A@2"]
+    assert f.calls == [("reconstruct", 1), ("reconstruct", 2)]
+
+    f2 = _Fake()
+    warmed = warmup(f2, batch_sizes=(1,))  # no filter: every function
+    assert sorted(warmed) == ["reconstruct.S2L2A@1", "super_resolve.S2RGB@1"]
