@@ -80,9 +80,11 @@ def main(argv=None) -> None:
         # values skips all warmup, buckets included (operator's call).
         extra = sorted(set(httpd.batcher.buckets) - set(warm_batches))
         if extra:
+            from eovax.serving.batching import NON_BATCHABLE
+
             batchable = {k.split(".")[0]
                          for k in served._manifest["functions"]} - \
-                {"super_resolve"}
+                NON_BATCHABLE
             warmed += warmup(served, batch_sizes=tuple(extra),
                              functions=batchable)
     if warmed:

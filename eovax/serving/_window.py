@@ -7,6 +7,8 @@ percentiles from it; this is the one implementation they share.
 
 from __future__ import annotations
 
+from collections import deque
+
 import numpy as np
 
 #: window size — large enough for stable p99, small enough to stay cheap.
@@ -14,7 +16,11 @@ WINDOW = 512
 
 
 class LatencyWindow:
-    """Capped list of the last :data:`WINDOW` latency samples (ms).
+    """Capped window of the last :data:`WINDOW` latency samples (ms).
+
+    Backed by ``deque(maxlen=...)`` so a full window evicts in O(1) —
+    callers add under the lock the hot request path also contends on, so
+    per-sample list copies would be contention, not just garbage.
 
     Not thread-safe on its own — callers guard it with their own lock
     (both users already hold one around their whole stats dict).
@@ -23,12 +29,10 @@ class LatencyWindow:
     __slots__ = ("_values",)
 
     def __init__(self):
-        self._values: list[float] = []
+        self._values: deque[float] = deque(maxlen=WINDOW)
 
     def add(self, ms: float) -> None:
         self._values.append(ms)
-        if len(self._values) > WINDOW:
-            self._values = self._values[-WINDOW:]
 
     def __bool__(self) -> bool:
         return bool(self._values)

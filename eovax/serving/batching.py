@@ -41,6 +41,13 @@ from eovax.serving._window import LatencyWindow
 #: Bucket ladder — padded batch sizes we allow XLA to specialize on.
 _LADDER = (1, 2, 4, 8, 16, 32, 64, 128)
 
+#: Exported functions the daemon must never coalesce: their per-request
+#: scalar arguments (super_resolve's seed) are baked into the single
+#: exported call, so batching requests with different values would change
+#: results. The ONE source of truth — the HTTP dispatch guard
+#: (server.py) and the serve CLI's bucket warm-up exclusion both read it.
+NON_BATCHABLE = frozenset({"super_resolve"})
+
 
 class _Request:
     __slots__ = ("x", "n", "event", "result", "error", "t0")
@@ -118,9 +125,12 @@ class MicroBatcher:
             raise ValueError(
                 f"batchable request needs a non-empty leading batch dim, "
                 f"got shape {x.shape}")
-        if x.dtype.kind not in "fiu":
+        if x.dtype.kind not in "fiub":
             # Reject before enqueueing: a non-numeric payload would fail
-            # inside the coalesced device call.
+            # inside the coalesced device call. bool is accepted because
+            # the UNBATCHED path accepts it (ServedModel casts via
+            # jnp.asarray(x, float32)) — the dtype contract must not
+            # depend on whether --max-batch is set.
             raise ValueError(
                 f"batchable request needs a numeric dtype, got {x.dtype}")
         # dtype is part of the key: a stray f64 (or otherwise odd-typed)

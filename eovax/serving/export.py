@@ -366,6 +366,12 @@ class ServedModel:
     bf16 tolerance (partitioning reorders reductions/fusions; verified at
     2e-5 in tests/test_serving.py)."""
 
+    #: modality the convenience methods default to when the caller passes
+    #: none — the flagship 12-band Sentinel-2 L2A surface. The HTTP layer
+    #: resolves its per-request default from this same constant so API and
+    #: daemon behavior can't drift.
+    DEFAULT_MODALITY = "S2L2A"
+
     def __init__(self, out_dir: str, manifest: dict, variables: Any, mesh=None):
         self._dir = out_dir
         self._manifest = manifest
@@ -425,6 +431,22 @@ class ServedModel:
                 self._fns[key] = jexport.deserialize(f.read())
         return self._fns[key]
 
+    def input_shape(self, name: str, modality: str | None = None) -> tuple:
+        """Per-sample input shape (batch dim excluded) the artifact expects
+        for ``name`` — the manifest's ``input_shape`` with the symbolic "b"
+        stripped. Raises ``KeyError`` for a function/modality not in this
+        artifact (same error the call itself would raise, but before any
+        payload is staged). The serving daemon uses this to reject
+        wrong-shape payloads as 400s instead of letting them surface as
+        device-call failures."""
+        key = name if modality is None else f"{name}.{modality}"
+        entry = self._manifest["functions"].get(key)
+        if entry is None:
+            raise KeyError(
+                f"{key!r} not in artifact (have {sorted(self._manifest['functions'])})"
+            )
+        return tuple(int(d) for d in entry["input_shape"][1:])
+
     def _jit(self, name: str, modality: str | None = None):
         key = name if modality is None else f"{name}.{modality}"
         if key not in self._jit_calls:
@@ -447,13 +469,13 @@ class ServedModel:
             x = jax.device_put(x, replicated_sharding(self._mesh))
         return fn(self._variables, x)
 
-    def reconstruct(self, x, modality: str = "S2L2A"):
+    def reconstruct(self, x, modality: str = DEFAULT_MODALITY):
         return self._call("reconstruct", x, modality)
 
-    def encode_spatial_normalized(self, x, modality: str = "S2L2A"):
+    def encode_spatial_normalized(self, x, modality: str = DEFAULT_MODALITY):
         return self._call("encode_spatial_normalized", x, modality)
 
-    def decode_spatial_normalized(self, z, modality: str = "S2L2A"):
+    def decode_spatial_normalized(self, z, modality: str = DEFAULT_MODALITY):
         return self._call("decode_spatial_normalized", z, modality)
 
     def super_resolve(self, x, seed: int = 0):

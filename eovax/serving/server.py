@@ -46,6 +46,7 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from eovax.serving._window import LatencyWindow
+from eovax.serving.batching import NON_BATCHABLE
 
 #: request path segment -> ServedModel method (all take (x, modality=...)
 #: except super_resolve, which takes (x, seed=...)).
@@ -138,6 +139,37 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": f"unknown path {path!r}"})
 
+    def _validate(self, name: str, modality, x) -> tuple | None:
+        """Pre-dispatch client-input checks → (status, message) or None.
+
+        Everything rejected here is the CLIENT's fault (400/404). Once
+        validation passes, any failure inside the device dispatch is a
+        server fault (500): a blanket ValueError→400 around the dispatch
+        would also reclassify server-side jax.export errors (an artifact
+        lowered for another platform, a variables-tree mismatch) as client
+        errors and hide a 100%-failing service from 5xx monitoring.
+        """
+        if x.ndim < 1 or x.shape[0] == 0:
+            return 400, (f"payload needs a non-empty leading batch dim, "
+                         f"got shape {x.shape}")
+        if x.dtype.kind not in "fiub":
+            return 400, f"payload needs a numeric dtype, got {x.dtype}"
+        get_shape = getattr(self.served, "input_shape", None)
+        if get_shape is None:
+            return None  # served object without a manifest (test fakes)
+        mod = None if name in NON_BATCHABLE else \
+            (modality or self.served.DEFAULT_MODALITY)
+        try:
+            expect = get_shape(name, mod)
+        except KeyError as e:
+            # e.args[0], not str(e): KeyError's str() adds a second layer
+            # of quotes around the message
+            return 404, str(e.args[0]) if e.args else str(e)
+        if tuple(x.shape[1:]) != expect:
+            return 400, (f"per-sample shape {tuple(x.shape[1:])} does not "
+                         f"match the artifact's {expect} for {name!r}")
+        return None
+
     def do_POST(self):  # noqa: N802
         # Read (drain) the body FIRST: with HTTP/1.1 keep-alive, replying
         # without consuming the body leaves its bytes in the socket to be
@@ -173,14 +205,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(400, {"error": f"seed must be an int, got "
                              f"{q['seed'][0]!r}"})
             return
+        modality = q["modality"][0] if "modality" in q else None
+        bad = self._validate(name, modality, x)
+        if bad is not None:
+            self.metrics.record(name, 0.0, error=True)
+            self._json(bad[0], {"error": bad[1]})
+            return
         import time
 
         t0 = time.perf_counter()
         try:
-            # super_resolve never batches: its per-request seed is baked
-            # into the one exported call (see batching.py module notes).
-            if self.batcher is not None and name != "super_resolve":
-                modality = q["modality"][0] if "modality" in q else None
+            # NON_BATCHABLE functions (super_resolve) never coalesce: their
+            # per-request seed is baked into the one exported call (see
+            # batching.py module notes).
+            if self.batcher is not None and name not in NON_BATCHABLE:
                 y = self.batcher.submit(name, modality, x)
                 body = _npy_bytes(y)
             else:
@@ -189,20 +227,16 @@ class _Handler(BaseHTTPRequestHandler):
                         y = self.served.super_resolve(x, seed=seed)
                     else:
                         kw = {}
-                        if "modality" in q:
-                            kw["modality"] = q["modality"][0]
+                        if modality is not None:
+                            kw["modality"] = modality
                         y = getattr(self.served, name)(x, **kw)
                     body = _npy_bytes(y)  # device fetch — count as latency
         except KeyError as e:
-            # function/modality not in this artifact
+            # function/modality not in this artifact (served objects
+            # without a manifest skip the _validate lookup, so this can
+            # still fire from the call itself)
             self.metrics.record(name, 0.0, error=True)
-            self._json(404, {"error": str(e)})
-            return
-        except ValueError as e:
-            # client-input validation (empty batch, non-numeric dtype,
-            # shape mismatch) — a 400, not a server fault
-            self.metrics.record(name, 0.0, error=True)
-            self._json(400, {"error": str(e)})
+            self._json(404, {"error": str(e.args[0]) if e.args else str(e)})
             return
         except TimeoutError as e:
             self.metrics.record(name, 0.0, error=True)

@@ -386,6 +386,73 @@ def test_http_maps_client_input_errors_to_400():
         httpd.server_close()
 
 
+def _post(port, path, arr):
+    """POST an array as .npy; return (status, body bytes)."""
+    import urllib.error
+    import urllib.request
+
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=buf.getvalue(), method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_bool_payload_contract_independent_of_batching():
+    """Accepted input dtypes must not depend on the --max-batch tuning
+    flag: a bool mask the UNBATCHED path accepts (ServedModel casts via
+    jnp.asarray(x, float32)) must get the same 200 from a batched server
+    — redeploying with --max-batch must not silently change the API."""
+    from eovax.serving.server import make_server
+
+    for max_batch in (0, 4):
+        httpd = make_server(_FakeServed(), port=0, max_batch=max_batch)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            code, body = _post(port, "/v1/reconstruct",
+                               np.ones((1, 2, 2), bool))
+            assert code == 200, (max_batch, body)
+        finally:
+            httpd.shutdown()
+            t.join(timeout=10)
+            httpd.server_close()
+
+
+def test_server_side_valueerror_is_500_not_400():
+    """A ValueError raised by the dispatch itself (jax.export raises it
+    for server faults — e.g. an artifact lowered for another platform, or
+    a variables-tree mismatch) must surface as 500 so 5xx monitoring sees
+    the outage — NOT be misreported as a client-input 400."""
+    from eovax.serving.server import make_server
+
+    class _Broken:
+        def reconstruct(self, x, modality="S2L2A"):
+            raise ValueError(
+                "Function 'fn' was lowered for platforms '(tpu,)' but it "
+                "is used on 'cpu'")
+
+    for max_batch in (0, 4):
+        httpd = make_server(_Broken(), port=0, max_batch=max_batch)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            code, body = _post(port, "/v1/reconstruct",
+                               np.ones((1, 2, 2), np.float32))
+            assert code == 500, (max_batch, body)
+            assert b"lowered for platforms" in body
+        finally:
+            httpd.shutdown()
+            t.join(timeout=10)
+            httpd.server_close()
+
+
 def test_dispatch_serializes_with_external_lock():
     """Batched device calls must hold the shared lock — the daemon relies
     on this to serialize with unbatched (super_resolve) dispatch."""

@@ -544,6 +544,19 @@ def test_http_server_round_trip(artifact):
             m = json.load(r)["reconstruct"]
         assert m["count"] == 2 and m["errors"] == 1 and m["p50_ms"] > 0
 
+        # wrong per-sample shape → 400 naming the expected shape (caught
+        # by pre-dispatch validation against the manifest, not by the
+        # device call)
+        badbuf = io.BytesIO()
+        np.save(badbuf, x[:, :, :16, :16])
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/v1/reconstruct?modality=S2RGB",
+                    data=badbuf.getvalue()), timeout=30)
+        assert ei.value.code == 400
+        assert b"per-sample shape" in ei.value.read()
+
         # HTTP/1.1 keep-alive: an error reply must DRAIN the request body,
         # or its bytes desync the next request on the same connection.
         import http.client
