@@ -417,16 +417,25 @@ class ServedModel:
     def modalities(self) -> list[str]:
         return sorted({v["modality"] for v in self._manifest["functions"].values()})
 
+    def _entry(self, name: str, modality: str | None) -> tuple[str, dict]:
+        """(manifest key, manifest entry) for a function — THE lookup and
+        THE KeyError. input_shape (pre-dispatch validation) and _fn (the
+        dispatch) must raise byte-identical messages or the daemon's 404
+        bodies desynchronize between the two paths."""
+        key = name if modality is None else f"{name}.{modality}"
+        entry = self._manifest["functions"].get(key)
+        if entry is None:
+            raise KeyError(
+                f"{key!r} not in artifact (have {sorted(self._manifest['functions'])})"
+            )
+        return key, entry
+
     def _fn(self, name: str, modality: str | None = None):
         from jax import export as jexport
 
         key = name if modality is None else f"{name}.{modality}"
         if key not in self._fns:
-            entry = self._manifest["functions"].get(key)
-            if entry is None:
-                raise KeyError(
-                    f"{key!r} not in artifact (have {sorted(self._manifest['functions'])})"
-                )
+            _, entry = self._entry(name, modality)
             with open(os.path.join(self._dir, entry["file"]), "rb") as f:
                 self._fns[key] = jexport.deserialize(f.read())
         return self._fns[key]
@@ -439,12 +448,7 @@ class ServedModel:
         payload is staged). The serving daemon uses this to reject
         wrong-shape payloads as 400s instead of letting them surface as
         device-call failures."""
-        key = name if modality is None else f"{name}.{modality}"
-        entry = self._manifest["functions"].get(key)
-        if entry is None:
-            raise KeyError(
-                f"{key!r} not in artifact (have {sorted(self._manifest['functions'])})"
-            )
+        _, entry = self._entry(name, modality)
         return tuple(int(d) for d in entry["input_shape"][1:])
 
     def _jit(self, name: str, modality: str | None = None):

@@ -57,7 +57,20 @@ _ROUTES = (
     "super_resolve",
 )
 
+#: Routes dispatched as ``(x, seed)`` with a BARE manifest key — every
+#: other route takes ``(x, modality=...)`` and is manifest-keyed
+#: ``<name>.<modality>``. This is a dispatch-signature property, distinct
+#: from batching.NON_BATCHABLE (a coalescing-safety property): the two
+#: sets cover the same name today, but a future per-modality non-batchable
+#: export must change only NON_BATCHABLE, not the key format.
+_SEED_ROUTES = frozenset({"super_resolve"})
+
 _MAX_BODY = 1 << 30  # 1 GiB — refuse absurd payloads before allocating
+
+#: jnp.asarray(seed, int32) raises OverflowError past these bounds — that
+#: is a client mistake and must be a 400 at parse time, not a 500 from
+#: inside the dispatch.
+_INT32_MIN, _INT32_MAX = -(1 << 31), (1 << 31) - 1
 
 
 class _Metrics:
@@ -157,8 +170,10 @@ class _Handler(BaseHTTPRequestHandler):
         get_shape = getattr(self.served, "input_shape", None)
         if get_shape is None:
             return None  # served object without a manifest (test fakes)
-        mod = None if name in NON_BATCHABLE else \
-            (modality or self.served.DEFAULT_MODALITY)
+        # manifest key format follows the dispatch signature (_SEED_ROUTES),
+        # not the batching-safety set; modality was already resolved to the
+        # served default in do_POST.
+        mod = None if name in _SEED_ROUTES else modality
         try:
             expect = get_shape(name, mod)
         except KeyError as e:
@@ -205,7 +220,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(400, {"error": f"seed must be an int, got "
                              f"{q['seed'][0]!r}"})
             return
+        if not _INT32_MIN <= seed <= _INT32_MAX:
+            # jnp.asarray(seed, int32) inside the dispatch would raise
+            # OverflowError -> 500; an oversize seed is the client's fault
+            self._json(400, {"error": f"seed must fit in int32, got {seed}"})
+            return
         modality = q["modality"][0] if "modality" in q else None
+        if name not in _SEED_ROUTES and modality is None:
+            # Resolve the served default ONCE so validation, the batcher
+            # key, and the dispatch all agree — requests that spell out the
+            # default and requests that omit it coalesce into one batch
+            # instead of two half-full padded device calls per window.
+            modality = getattr(self.served, "DEFAULT_MODALITY", None)
         bad = self._validate(name, modality, x)
         if bad is not None:
             self.metrics.record(name, 0.0, error=True)
@@ -223,7 +249,7 @@ class _Handler(BaseHTTPRequestHandler):
                 body = _npy_bytes(y)
             else:
                 with self.lock:
-                    if name == "super_resolve":
+                    if name in _SEED_ROUTES:
                         y = self.served.super_resolve(x, seed=seed)
                     else:
                         kw = {}

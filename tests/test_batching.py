@@ -355,37 +355,6 @@ def test_timed_out_request_is_withdrawn_not_dispatched():
     mb.close()
 
 
-def test_http_maps_client_input_errors_to_400():
-    """Validation failures raised by the batched path (empty batch,
-    non-numeric dtype) are the CLIENT's fault and must surface as 400,
-    not 500 — monitoring counts 5xx as server faults."""
-    import urllib.error
-    import urllib.request
-
-    from eovax.serving.server import make_server
-
-    served = _FakeServed()
-    httpd = make_server(served, port=0, max_batch=4)
-    host, port = httpd.server_address[:2]
-    t = threading.Thread(target=httpd.serve_forever, daemon=True)
-    t.start()
-    try:
-        for bad in (np.zeros((0, 3, 4, 4), np.float32),  # empty batch
-                    np.array([["a", "b"]])):             # non-numeric
-            buf = io.BytesIO()
-            np.save(buf, bad)
-            req = urllib.request.Request(
-                f"http://{host}:{port}/v1/reconstruct", data=buf.getvalue(),
-                method="POST")
-            with pytest.raises(urllib.error.HTTPError) as exc:
-                urllib.request.urlopen(req, timeout=30)
-            assert exc.value.code == 400
-    finally:
-        httpd.shutdown()
-        t.join(timeout=10)
-        httpd.server_close()
-
-
 def _post(port, path, arr):
     """POST an array as .npy; return (status, body bytes)."""
     import urllib.error
@@ -400,6 +369,83 @@ def _post(port, path, arr):
             return r.status, r.read()
     except urllib.error.HTTPError as e:
         return e.code, e.read()
+
+
+def test_http_maps_client_input_errors_to_400():
+    """Validation failures raised by the batched path (empty batch,
+    non-numeric dtype) are the CLIENT's fault and must surface as 400,
+    not 500 — monitoring counts 5xx as server faults."""
+    from eovax.serving.server import make_server
+
+    httpd = make_server(_FakeServed(), port=0, max_batch=4)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        for bad in (np.zeros((0, 3, 4, 4), np.float32),  # empty batch
+                    np.array([["a", "b"]])):             # non-numeric
+            code, _ = _post(port, "/v1/reconstruct", bad)
+            assert code == 400
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
+        httpd.server_close()
+
+
+def test_out_of_int32_seed_is_400_not_500():
+    """A seed past int32 bounds would raise OverflowError from
+    jnp.asarray(seed, int32) INSIDE the dispatch -> 500; it is a client
+    mistake and must be rejected as 400 at parse time (same fault-class
+    contract as the other pre-dispatch validations)."""
+    from eovax.serving.server import make_server
+
+    class _SR:
+        def super_resolve(self, x, seed=0):
+            raise AssertionError("dispatch must not be reached")
+
+    httpd = make_server(_SR(), port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        x = np.ones((1, 4, 8, 8), np.float32)
+        for seed in (2**31, -(2**31) - 1, 10**19):
+            code, body = _post(port, f"/v1/super_resolve?seed={seed}", x)
+            assert code == 400, (seed, body)
+            assert b"int32" in body
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
+        httpd.server_close()
+
+
+def test_default_and_explicit_modality_coalesce_to_one_key():
+    """Requests that spell out the served default modality and requests
+    that omit it are identical work — they must share ONE batcher key
+    (one dispatcher, one padded device call per window), not split into
+    two half-full batches. The daemon resolves DEFAULT_MODALITY once in
+    do_POST before keying."""
+    from eovax.serving.server import make_server
+
+    class _WithDefault(_FakeServed):
+        DEFAULT_MODALITY = "S2L2A"
+
+    httpd = make_server(_WithDefault(), port=0, max_batch=4)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        x = np.ones((1, 3, 4, 4), np.float32)
+        code, _ = _post(port, "/v1/reconstruct?modality=S2L2A", x)
+        assert code == 200
+        code, _ = _post(port, "/v1/reconstruct", x)
+        assert code == 200
+        keys = list(httpd.batcher._queues)
+        assert len(keys) == 1 and keys[0][:2] == ("reconstruct", "S2L2A"), keys
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
+        httpd.server_close()
 
 
 def test_bool_payload_contract_independent_of_batching():
