@@ -32,7 +32,8 @@ def main(argv=None) -> None:
     parser.add_argument("--max-batch", type=int, default=0,
                         help="enable dynamic micro-batching: coalesce "
                         "concurrent requests into device batches up to this "
-                        "size (0 = off; super_resolve is never batched)")
+                        "size (0 = off; super_resolve batches only on "
+                        "per-sample-seed artifacts — round-4 exports)")
     parser.add_argument("--batch-wait-ms", type=float, default=3.0,
                         help="micro-batching window: how long the first "
                         "request in a batch waits for company")
@@ -74,17 +75,19 @@ def main(argv=None) -> None:
     if httpd.batcher is not None and args.warmup:
         # Pre-compile the bucket ladder for the BATCHABLE functions only:
         # batched traffic dispatches at bucket sizes and each concrete
-        # size compiles once at call time, but super_resolve never
-        # batches — warming its (expensive, full-DDIM) call at every
-        # bucket would be pure waste. An explicit `--warmup` with no
-        # values skips all warmup, buckets included (operator's call).
+        # size compiles once at call time. A scalar-seed super_resolve
+        # never batches — warming its (expensive, full-DDIM) call at
+        # every bucket would be pure waste — but a per-sample-seed one
+        # (round-4 exports) dispatches at bucket sizes like any other
+        # function, so ServedModel.batchable decides. An explicit
+        # `--warmup` with no values skips all warmup, buckets included
+        # (operator's call).
         extra = sorted(set(httpd.batcher.buckets) - set(warm_batches))
         if extra:
-            from eovax.serving.batching import NON_BATCHABLE
-
-            batchable = {k.split(".")[0]
-                         for k in served._manifest["functions"]} - \
-                NON_BATCHABLE
+            batchable = {n for n in
+                         {k.split(".")[0]
+                          for k in served._manifest["functions"]}
+                         if served.batchable(n)}
             warmed += warmup(served, batch_sizes=tuple(extra),
                              functions=batchable)
     if warmed:

@@ -24,9 +24,12 @@ Design:
   requests, so its error (404/500) never poisons well-formed traffic.
   Idle keys are reclaimed after ``idle_key_ttl_s`` (clients choose the
   key, so per-key threads must not accumulate without bound).
-- ``super_resolve`` is NOT batched by the server: its per-request scalar
-  seed is an argument of the one exported call, so coalescing requests
-  with different seeds would change their results.
+- ``super_resolve`` coalesces only when the artifact takes a PER-SAMPLE
+  seed vector (round-4 exports; ``ServedModel.batchable``): each request's
+  seeds ride along as a per-sample extra and concatenate/pad exactly like
+  the payload, so coalescing cannot change any request's noise draw.
+  Pre-round-4 artifacts bake one scalar seed into the whole call and are
+  never batched (the static ``NON_BATCHABLE`` fallback).
 """
 
 from __future__ import annotations
@@ -41,19 +44,24 @@ from eovax.serving._window import LatencyWindow
 #: Bucket ladder — padded batch sizes we allow XLA to specialize on.
 _LADDER = (1, 2, 4, 8, 16, 32, 64, 128)
 
-#: Exported functions the daemon must never coalesce: their per-request
-#: scalar arguments (super_resolve's seed) are baked into the single
-#: exported call, so batching requests with different values would change
-#: results. The ONE source of truth — the HTTP dispatch guard
-#: (server.py) and the serve CLI's bucket warm-up exclusion both read it.
+#: Exported functions the daemon must never coalesce UNLESS the artifact
+#: declares them safe: super_resolve's seed is baked into the single
+#: exported call as a scalar in pre-round-4 artifacts, so batching
+#: requests with different values would change results. Round-4 exports
+#: take a per-sample seed vector instead, which relaxes this —
+#: ``ServedModel.batchable(name)`` is the per-artifact answer; this
+#: frozenset is its static fallback (and the rule for manifest-less
+#: served objects). The HTTP dispatch guard (server.py) and the serve
+#: CLI's bucket warm-up exclusion both go through ``batchable``.
 NON_BATCHABLE = frozenset({"super_resolve"})
 
 
 class _Request:
-    __slots__ = ("x", "n", "event", "result", "error", "t0")
+    __slots__ = ("x", "extras", "n", "event", "result", "error", "t0")
 
-    def __init__(self, x: np.ndarray):
+    def __init__(self, x: np.ndarray, extras: dict | None = None):
         self.x = x
+        self.extras = extras or {}
         self.n = int(x.shape[0])
         self.event = threading.Event()
         self.result = None
@@ -112,13 +120,19 @@ class MicroBatcher:
     # ---- client side ----------------------------------------------------
 
     def submit(self, name: str, modality: str | None, x: np.ndarray,
-               timeout_s: float = 600.0):
+               extras: dict | None = None, timeout_s: float = 600.0):
         """Block until the coalesced device call for ``x`` completes.
 
         Raises whatever the underlying ServedModel call raised (KeyError
         for a function/modality not in the artifact, etc.). ``modality``
         None means "use the method's default" — identical semantics to
         calling the ServedModel method without the kwarg.
+
+        ``extras``: optional per-sample side arrays passed as keyword
+        arguments of the served call (super_resolve's seed vector). Each
+        must lead with the same batch dim as ``x``; they concatenate and
+        zero-pad alongside it (pad rows are sliced off before the fetch,
+        so their extra values never reach a client).
         """
         x = np.asarray(x)
         if x.ndim < 1 or x.shape[0] == 0:
@@ -133,11 +147,21 @@ class MicroBatcher:
             # depend on whether --max-batch is set.
             raise ValueError(
                 f"batchable request needs a numeric dtype, got {x.dtype}")
+        extras = {k: np.asarray(v) for k, v in (extras or {}).items()}
+        for k, v in extras.items():
+            if v.ndim < 1 or v.shape[0] != x.shape[0]:
+                raise ValueError(
+                    f"extra {k!r} must lead with the batch dim "
+                    f"({x.shape[0]}), got shape {v.shape}")
         # dtype is part of the key: a stray f64 (or otherwise odd-typed)
         # request must neither promote a whole coalesced f32 batch nor
-        # share its failure with well-typed peers.
-        key = (name, modality, tuple(x.shape[1:]), x.dtype.str)
-        req = _Request(x)
+        # share its failure with well-typed peers. Extras signatures are
+        # too — a request missing an extra (or typing it oddly) can only
+        # share a batch with identically-shaped peers.
+        key = (name, modality, tuple(x.shape[1:]), x.dtype.str,
+               tuple(sorted((k, v.dtype.str, v.shape[1:])
+                            for k, v in extras.items())))
+        req = _Request(x, extras)
         q = None
         while True:
             q = self._queue_for(key)
@@ -250,6 +274,17 @@ class MicroBatcher:
                 pad = np.zeros((bucket - total,) + xs.shape[1:], xs.dtype)
                 xs = np.concatenate([xs, pad], axis=0)
             kw = {} if modality is None else {"modality": modality}
+            # Per-sample extras (seed vectors) ride with the payload: same
+            # concat order, zero pad rows (sliced off before the fetch).
+            # The key guarantees every request here has the same extras.
+            for en in take[0].extras:
+                ev = (np.concatenate([r.extras[en] for r in take], axis=0)
+                      if len(take) > 1 else take[0].extras[en])
+                if bucket > total:
+                    epad = np.zeros((bucket - total,) + ev.shape[1:],
+                                    ev.dtype)
+                    ev = np.concatenate([ev, epad], axis=0)
+                kw[en] = ev
             with self._lock:
                 y = getattr(self._served, name)(xs, **kw)
                 if bucket > total:

@@ -55,6 +55,24 @@ def _quant_manifest(quantized_convs: int, act_scales=None) -> dict:
     }
 
 
+def per_sample_seeds(seed: int, n: int):
+    """``[seed, seed+1, …, seed+n-1]`` as int32 with wraparound.
+
+    THE scalar→vector seed derivation for per-sample-seed SR artifacts —
+    `ServedModel.super_resolve` (scalar convenience arg) and the serving
+    daemon's micro-batched path both use it, so a request served batched
+    and the same request served unbatched draw identical per-sample
+    noise (results agree to fp tolerance across batch compositions, and
+    bitwise within one). Consecutive seeds keep the property that samples
+    within one request draw DISTINCT noise (a broadcast scalar would hand
+    every row the same x1), while sample ``i`` stays reproducible as the
+    B=1 call with ``seed+i``."""
+    import numpy as np
+
+    raw = np.int64(seed) + np.arange(n, dtype=np.int64)
+    return (raw & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+
 def _nchw_fn(core, method_name: str, wvs: jax.Array):
     """Wrap a core method as (variables, x_nchw) → y_nchw with the
     modality wavelengths closed over (a per-artifact constant)."""
@@ -220,8 +238,15 @@ def export_sr_pipeline(
     artifact's ``params.msgpack`` holds ``{"vae": <model variables>,
     "sr": <denoiser params>, "latent_norm": {mean, std}}``; the exported
     signature is ``(variables, x_lr_nchw, seed) → y_nchw`` with a symbolic
-    batch dim — ``seed`` (int32 scalar) drives the x1 ~ N(0, σ(1)²) init
-    so fixed-seed results are reproducible across the artifact boundary.
+    batch dim — ``seed`` (int32 vector, one per sample) drives the
+    x1 ~ N(0, σ(1)²) init so fixed-seed results are reproducible across
+    the artifact boundary. The init is PER SAMPLE (vmapped key → noise):
+    row ``i`` of a batched call draws the exact noise of the B=1 call
+    with ``seed[i]``, which is what lets the serving daemon coalesce concurrent
+    super_resolve requests without touching their per-request seeds
+    (manifest ``extra_args: ["seed:int32[b]"]``; pre-round-4 artifacts
+    carried a scalar ``seed:int32`` baked into the whole batch and stay
+    loadable but never coalesce).
 
     ``latent_stats``: optional (mean[C], std[C]) per-latent-channel stats
     (the Sen2NAIP HR-stats normalization, sen2naip.py:634-643); identity
@@ -313,7 +338,11 @@ def export_sr_pipeline(
         x = jnp.transpose(x_lr, (0, 2, 3, 1))  # NCHW → NHWC
         z_lr = core.apply(variables["vae"], x, wvs_arr, method=enc)
         cond = (z_lr - m) / s  # latent NHWC
-        x1 = sampler_obj.init(jax.random.PRNGKey(seed), cond.shape)
+        # Per-sample noise: row i depends only on seed[i], so a coalesced
+        # batch reproduces each request's B=1 result bitwise (vmap of a
+        # jax.random op is per-example-identical by construction).
+        keys = jax.vmap(jax.random.PRNGKey)(seed)
+        x1 = jax.vmap(lambda k, c: sampler_obj.init(k, c.shape))(keys, cond)
         z_hr = sampler_obj(variables["sr"], x1, cond=cond) * s + m
         y = core.apply(variables["vae"], z_hr, wvs_arr, method=dec)
         return jnp.transpose(y, (0, 3, 1, 2))
@@ -323,7 +352,7 @@ def export_sr_pipeline(
     exp = jexport.export(jax.jit(sr_fn))(
         var_shapes,
         jax.ShapeDtypeStruct(in_shape, jnp.float32),
-        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
     )
     fname = "super_resolve.stablehlo"
     with open(os.path.join(out_dir, fname), "wb") as f:
@@ -343,7 +372,7 @@ def export_sr_pipeline(
                 "modality": "SEN2NAIP",
                 "input_shape": ["b"] + [int(d) for d in in_shape[1:]],
                 "dtype": "float32",
-                "extra_args": ["seed:int32"],
+                "extra_args": ["seed:int32[b]"],
             }
         },
     }
@@ -482,20 +511,66 @@ class ServedModel:
     def decode_spatial_normalized(self, z, modality: str = DEFAULT_MODALITY):
         return self._call("decode_spatial_normalized", z, modality)
 
-    def super_resolve(self, x, seed: int = 0):
+    def per_sample_seed(self, name: str = "super_resolve") -> bool:
+        """True when ``name`` takes a per-sample int32 seed VECTOR
+        (round-4 SR exports, ``extra_args: ["seed:int32[b]"]``) rather
+        than one scalar baked into the whole batch. Per-sample seeds are
+        what make the function safe to micro-batch: coalescing cannot
+        change any request's noise draw. False for functions without a
+        seed arg and for pre-round-4 scalar-seed artifacts."""
+        entry = self._manifest["functions"].get(name)
+        return entry is not None and "seed:int32[b]" in entry.get(
+            "extra_args", ())
+
+    def batchable(self, name: str) -> bool:
+        """May the serving daemon coalesce concurrent ``name`` requests
+        into one device call? Static rule (batching.NON_BATCHABLE)
+        relaxed by the artifact capability: a per-sample-seed
+        super_resolve batches safely."""
+        from eovax.serving.batching import NON_BATCHABLE
+
+        return name not in NON_BATCHABLE or self.per_sample_seed(name)
+
+    def super_resolve(self, x, seed=0):
         """Run an exported SR-pipeline artifact (encode → DDIM → decode;
-        :func:`export_sr_pipeline`). ``seed`` pins the x1 noise draw."""
+        :func:`export_sr_pipeline`). ``seed`` pins the x1 noise draw:
+        an int is expanded to :func:`per_sample_seeds` (sample ``i`` ≡
+        the B=1 call with ``seed+i``); a length-B int sequence pins each
+        sample's draw directly. Pre-round-4 artifacts baked one scalar
+        seed into the whole batch and accept only an int."""
+        import numpy as np
+
         fn = self._jit("super_resolve")
         x = jnp.asarray(x, jnp.float32)
-        seed_arr = jnp.asarray(seed, jnp.int32)
+        if self.per_sample_seed():
+            seeds = (per_sample_seeds(int(seed), x.shape[0])
+                     if np.ndim(seed) == 0 else
+                     np.asarray(seed, np.int32).reshape(-1))
+            if seeds.shape[0] != x.shape[0]:
+                raise ValueError(
+                    f"need one seed per sample: got {seeds.shape[0]} "
+                    f"seeds for batch {x.shape[0]}")
+            seed_arr = jnp.asarray(seeds, jnp.int32)
+        else:
+            if np.ndim(seed) != 0:
+                raise ValueError(
+                    "this artifact predates per-sample seeds (manifest "
+                    "extra_args 'seed:int32'): its one scalar seed is "
+                    "baked into the whole batch — re-export with the "
+                    "current eovax for per-sample seed vectors")
+            seed_arr = jnp.asarray(seed, jnp.int32)
         if self._mesh is None:
             return fn(self._variables, x, seed_arr)
         from eovax.parallel.mesh import batch_sharding, replicated_sharding
 
         axis = self._mesh.axis_names[0]
-        if x.shape[0] % self._mesh.shape[axis] == 0:
-            x = jax.device_put(x, batch_sharding(self._mesh, axis))
-        else:
-            x = jax.device_put(x, replicated_sharding(self._mesh))
-        seed_arr = jax.device_put(seed_arr, replicated_sharding(self._mesh))
+        sharded = x.shape[0] % self._mesh.shape[axis] == 0
+        x = jax.device_put(
+            x, batch_sharding(self._mesh, axis) if sharded
+            else replicated_sharding(self._mesh))
+        # a per-sample seed vector is batch state — shard it with x
+        seed_arr = jax.device_put(
+            seed_arr, batch_sharding(self._mesh, axis)
+            if sharded and seed_arr.ndim == 1
+            else replicated_sharding(self._mesh))
         return fn(self._variables, x, seed_arr)

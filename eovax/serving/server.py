@@ -20,7 +20,10 @@ Protocol (v1):
     GET  /metrics                  -> per-function counts + latency p50/p99
     POST /v1/<function>?modality=M -> body:  .npy (NCHW float32)
                                       reply: .npy (NCHW float32)
-    POST /v1/super_resolve?seed=N  -> SR-pipeline artifacts only
+    POST /v1/super_resolve?seed=N  -> SR-pipeline artifacts only; on
+                                      per-sample-seed artifacts sample i
+                                      draws with seed N+i (≡ the B=1
+                                      call with seed N+i, batched or not)
 
 Design notes:
 - ``ThreadingHTTPServer`` so a slow client can't starve health checks;
@@ -241,11 +244,27 @@ class _Handler(BaseHTTPRequestHandler):
 
         t0 = time.perf_counter()
         try:
-            # NON_BATCHABLE functions (super_resolve) never coalesce: their
-            # per-request seed is baked into the one exported call (see
-            # batching.py module notes).
-            if self.batcher is not None and name not in NON_BATCHABLE:
-                y = self.batcher.submit(name, modality, x)
+            # Batchability is per-artifact: super_resolve coalesces when
+            # the export takes a per-sample seed vector (each request's
+            # seeds ride along as an extra), and never on pre-round-4
+            # scalar-seed artifacts — ServedModel.batchable decides;
+            # manifest-less test fakes fall back to the static set.
+            can_batch = getattr(self.served, "batchable", None)
+            batchable = (can_batch(name) if can_batch is not None
+                         else name not in NON_BATCHABLE)
+            if self.batcher is not None and batchable:
+                extras = None
+                if name in _SEED_ROUTES:
+                    # THE scalar→vector derivation (per_sample_seeds) —
+                    # shared with the unbatched ServedModel path, so the
+                    # same request draws the same per-sample noise with
+                    # and without --max-batch.
+                    from eovax.serving.export import per_sample_seeds
+
+                    extras = {"seed": per_sample_seeds(seed, x.shape[0])}
+                y = self.batcher.submit(
+                    name, None if name in _SEED_ROUTES else modality, x,
+                    extras=extras)
                 body = _npy_bytes(y)
             else:
                 with self.lock:
@@ -328,7 +347,8 @@ def warmup(served, batch_sizes=(1,), seed: int = 0,
     manifest's input shapes, so it works for both VAE-surface and
     SR-pipeline artifacts. ``functions`` restricts warming to those
     function names (e.g. only the batchable ones for bucket warmup —
-    super_resolve never dispatches at bucket sizes).
+    a scalar-seed super_resolve never dispatches at bucket sizes, while
+    a per-sample-seed one batches like any other function).
     """
     warmed = []
     for key, entry in served._manifest["functions"].items():

@@ -94,6 +94,75 @@ def _device_intrinsic(served, np, batch: int) -> dict:
     }
 
 
+def _sr_device_intrinsic(max_batch: int, steps: int) -> dict:
+    """Device-intrinsic coalescing ratio for the SR-pipeline artifact —
+    the workload micro-batching helps most: requests are typically B=1
+    (one tile per client) and every call pays a full ``steps``-step DDIM
+    scan, so N-into-1 dispatch collapse amortizes N× more device work
+    than on the single-conv-stack surfaces. Per-sample seeds (round-4
+    export) are what make this coalescing legal at all. Same
+    chained-slope methodology as _device_intrinsic; flagship stage-3
+    setup (4-band SEN2NAIP 128px LR, z-latent UNet per
+    eo_vae_latent.yaml — identical to cli/benchmark's sr_pipeline rows).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eovax.core.config import (DecoderConfig, EncoderConfig, StemConfig,
+                                   VAEConfig)
+    from eovax.core.precision import DEFAULT_POLICY
+    from eovax.models.eo_flux_vae import EOFluxVAE
+    from eovax.models.sr_diffusion import RectifiedSchedule, SimpleDenoiser
+    from eovax.models.unet import UNet
+    from eovax.serving import ServedModel, export_sr_pipeline
+    from eovax.utils.slopetime import chained_ms
+
+    stem = StemConfig(num_layers=4, wv_planes=256)
+    cfg = VAEConfig(encoder=EncoderConfig(in_channels=4, stem=stem),
+                    decoder=DecoderConfig(out_ch=4, stem=stem))
+    model = EOFluxVAE(cfg, policy=DEFAULT_POLICY)
+    z = model.config.encoder.z_channels
+    unet = UNet(in_channels=z, out_channels=z, cond_channels=z,
+                hid_channels=(256, 128, 64), hid_blocks=(3, 3, 3),
+                policy=DEFAULT_POLICY)
+    x0 = jnp.zeros((1, 16, 16, z))
+    sr_params = unet.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)),
+                          x0)["params"]
+
+    def apply_fn(params, x_t, t, cond=None):
+        return unet.apply({"params": params}, x_t, t, cond)
+
+    den = SimpleDenoiser(apply_fn=apply_fn, schedule=RectifiedSchedule())
+    out = tempfile.mkdtemp(prefix="eovax_bench_sr_serve_")
+    try:
+        export_sr_pipeline(model, den, sr_params, out, resolution=128,
+                           steps=steps)
+        print("sr artifact exported", flush=True)
+        served = ServedModel.load(out)
+        exp = served._fn("super_resolve")
+
+        def body(c, y):
+            v, s = c
+            return jnp.tanh(exp.call(v, y, s)).astype(jnp.float32)
+
+        rng = np.random.default_rng(1)
+        xs = jnp.asarray(rng.standard_normal(
+            (max_batch, 4, 128, 128)).astype(np.float32))
+        seeds = jnp.arange(max_batch, dtype=jnp.int32)
+        ms_b1 = chained_ms(body, xs[:1], (served._variables, seeds[:1]))
+        ms_bn = chained_ms(body, xs, (served._variables, seeds))
+        return {
+            "batch": max_batch,
+            "ddim_steps": steps,
+            "b1_ms_per_call": round(ms_b1, 2),
+            "coalesced_ms": round(ms_bn, 2),
+            "device_speedup": round(max_batch * ms_b1 / ms_bn, 2),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--clients", type=int, default=8)
@@ -103,7 +172,21 @@ def main() -> None:
     parser.add_argument("--device-only", action="store_true",
                         help="skip the HTTP modes; measure only the "
                         "device-intrinsic serialized-vs-coalesced ratio")
+    parser.add_argument("--sr", action="store_true",
+                        help="measure the SR-pipeline device-intrinsic "
+                        "coalescing ratio (per-sample-seed artifact) "
+                        "instead of the VAE surface")
+    parser.add_argument("--sr-steps", type=int, default=50)
     args = parser.parse_args()
+
+    if args.sr:
+        from eovax.cli.common import enable_compile_cache
+
+        enable_compile_cache()
+        result = {"sr_device_intrinsic": _sr_device_intrinsic(
+            args.max_batch, args.sr_steps)}
+        print("JSON_RESULT:" + json.dumps(result), flush=True)
+        return
 
     import numpy as np
 

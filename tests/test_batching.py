@@ -638,3 +638,95 @@ def test_http_microbatching_end_to_end(tmp_path):
         httpd.server_close()  # also stops the batching threads
     assert httpd.batcher._threads and not any(
         th.is_alive() for th in httpd.batcher._threads.values())
+
+
+class _SeedFakeServed:
+    """super_resolve stand-in: y[i] = x[i] + seed[i], so any extras
+    misalignment (wrong concat order, pad leakage, dropped or reordered
+    seeds) shows up per-sample."""
+
+    def __init__(self):
+        self.calls = []  # (batch_size, seeds tuple)
+        self._lock = threading.Lock()
+
+    def super_resolve(self, x, seed):
+        seed = np.asarray(seed)
+        assert seed.shape[0] == x.shape[0]
+        with self._lock:
+            self.calls.append((int(x.shape[0]),
+                               tuple(int(s) for s in seed)))
+        return x + seed.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+
+
+def test_extras_ride_with_their_samples():
+    """Per-sample extras (super_resolve's seed vector) concatenate and
+    zero-pad exactly alongside the payload: every request keeps ITS seeds
+    after coalescing — the property that makes SR batching safe at all."""
+    served, mb = _batcher(_SeedFakeServed(), max_batch=8, max_wait_ms=500.0)
+    out = [None, None]
+    barrier = threading.Barrier(3)
+
+    def client(i, x, seeds):
+        barrier.wait()
+        out[i] = mb.submit("super_resolve", None, x,
+                           extras={"seed": seeds})
+
+    x0 = np.ones((1, 2, 2), np.float32)
+    x1 = np.full((2, 2, 2), 10.0, np.float32)
+    t0 = threading.Thread(target=client,
+                          args=(0, x0, np.array([3], np.int32)))
+    t1 = threading.Thread(target=client,
+                          args=(1, x1, np.array([5, 7], np.int32)))
+    t0.start(); t1.start(); barrier.wait()
+    t0.join(timeout=60); t1.join(timeout=60)
+    np.testing.assert_array_equal(out[0], x0 + 3.0)
+    np.testing.assert_array_equal(out[1][0], x1[0] + 5.0)
+    np.testing.assert_array_equal(out[1][1], x1[1] + 7.0)
+    if len(served.calls) == 1:  # coalesced: 3 samples -> the 4-bucket
+        b, seeds = served.calls[0]
+        assert b == 4
+        # pad row carries seed 0 and was sliced off before the split
+        assert seeds[3] == 0 and set(seeds[:3]) == {3, 5, 7}
+    mb.close()
+
+
+def test_extras_validated_and_keyed():
+    """Extras must lead with the batch dim; requests whose extras
+    signature differs (here: present vs absent) never share a batch, so a
+    seedless submit's TypeError cannot poison seeded traffic."""
+    served, mb = _batcher(_SeedFakeServed(), max_batch=8, max_wait_ms=300.0)
+    with pytest.raises(ValueError, match="lead with the batch dim"):
+        mb.submit("super_resolve", None, np.ones((2, 2, 2), np.float32),
+                  extras={"seed": np.array([1, 2, 3], np.int32)})
+    with pytest.raises(ValueError, match="lead with the batch dim"):
+        mb.submit("super_resolve", None, np.ones((1, 2, 2), np.float32),
+                  extras={"seed": np.int32(1)})
+
+    res = {}
+    barrier = threading.Barrier(3)
+
+    def good():
+        barrier.wait()
+        res["good"] = mb.submit(
+            "super_resolve", None, np.ones((1, 2, 2), np.float32),
+            extras={"seed": np.array([4], np.int32)})
+
+    def seedless():
+        barrier.wait()
+        try:
+            mb.submit("super_resolve", None,
+                      np.ones((1, 2, 2), np.float32))
+        except TypeError as e:  # fake requires seed — stays in ITS batch
+            res["bad"] = e
+
+    tg = threading.Thread(target=good)
+    tb = threading.Thread(target=seedless)
+    tg.start(); tb.start(); barrier.wait()
+    tg.join(timeout=60); tb.join(timeout=60)
+    assert isinstance(res.get("bad"), TypeError)
+    np.testing.assert_array_equal(res["good"],
+                                  np.full((1, 2, 2), 5.0, np.float32))
+    # the seeded dispatch was exactly (1, (4,)) — never mixed with the
+    # seedless request
+    assert (1, (4,)) in served.calls
+    mb.close()

@@ -362,19 +362,30 @@ def test_export_sr_pipeline_matches_in_repo_sampler(tmp_path):
         model, den, sr_params, str(out), resolution=32, steps=4, wvs=wvs,
     )
     assert manifest["pipeline"] == "sr" and manifest["ddim_steps"] == 4
+    # Round-4 export: per-sample seed vector (what makes SR batchable).
+    assert manifest["functions"]["super_resolve"]["extra_args"] == [
+        "seed:int32[b]"]
 
     g = np.random.default_rng(0)
     x_lr = g.standard_normal((2, 3, 32, 32)).astype(np.float32)
     served = ServedModel.load(str(out))
+    assert served.per_sample_seed() and served.batchable("super_resolve")
     y = np.asarray(served.super_resolve(x_lr, seed=7), np.float32)
     assert y.shape == (2, 3, 32, 32) and np.isfinite(y).all()
 
-    # In-repo composition, same seed.
+    # In-repo composition, same seeds: a scalar seed expands to
+    # per_sample_seeds(7, B) = [7, 8], each row's x1 drawn from its own
+    # key (export.py sr_fn's vmapped init).
+    from eovax.serving.export import per_sample_seeds
+
     wvs_arr = jnp.asarray(wvs, jnp.float32)
     z_lr = model.encode_spatial_normalized(x_lr, wvs_arr)
     cond = jnp.transpose(jnp.asarray(z_lr), (0, 2, 3, 1))
     sampler = DDIMSampler(den, steps=4)
-    x1 = sampler.init(jax.random.PRNGKey(7), cond.shape)
+    x1 = jnp.stack([
+        sampler.init(jax.random.PRNGKey(int(s)), cond.shape[1:])
+        for s in per_sample_seeds(7, cond.shape[0])
+    ])
     z_hr = sampler(sr_params, x1, cond=cond)
     ref = np.asarray(model.decode_spatial_normalized(
         jnp.transpose(z_hr, (0, 3, 1, 2)), wvs_arr), np.float32)
@@ -387,7 +398,8 @@ def test_export_sr_pipeline_matches_in_repo_sampler(tmp_path):
     assert not np.allclose(y7, y8)
 
     # Data-parallel serving: the exported pipeline (including the DDIM
-    # scan) partitions over a 1-D mesh; seed replicated, batch sharded.
+    # scan) partitions over a 1-D mesh; the per-sample seed vector
+    # shards along the batch axis with the payload.
     from jax.sharding import Mesh
 
     mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("batch",))
@@ -775,3 +787,158 @@ def test_warmup_function_filter():
     f2 = _Fake()
     warmed = warmup(f2, batch_sizes=(1,))  # no filter: every function
     assert sorted(warmed) == ["reconstruct.S2L2A@1", "super_resolve.S2RGB@1"]
+
+
+@pytest.fixture(scope="module")
+def sr_artifact(tmp_path_factory):
+    """Tiny SR-pipeline artifact (2-step DDIM, seed-sensitive denoiser)
+    for the per-sample-seed contract tests."""
+    import jax
+    import jax.numpy as jnp
+
+    from eovax.core.precision import FULL_PRECISION
+    from eovax.models.sr_diffusion import RectifiedSchedule, SimpleDenoiser
+    from eovax.models.unet import UNet
+    from eovax.serving import export_sr_pipeline
+
+    model = EOFluxVAE(CFG, seed=0)
+    z = model.config.encoder.z_channels
+    unet = UNet(in_channels=z, out_channels=z, cond_channels=z,
+                hid_channels=(16,), hid_blocks=(1,), policy=FULL_PRECISION)
+    x0 = jnp.zeros((1, 4, 4, z))
+    sr_params = unet.init(jax.random.PRNGKey(1), x0, jnp.zeros((1,)),
+                          x0)["params"]
+
+    def apply_fn(params, x_t, t, cond=None):
+        return unet.apply({"params": params}, x_t, t, cond)
+
+    # Perturb away from the zero-init output convs so the pipeline
+    # actually depends on the per-sample x1 draw.
+    leaves, treedef = jax.tree_util.tree_flatten(sr_params)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    sr_params = treedef.unflatten([
+        l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)
+    ])
+    den = SimpleDenoiser(apply_fn=apply_fn, schedule=RectifiedSchedule())
+    out = tmp_path_factory.mktemp("sr-psseed")
+    export_sr_pipeline(model, den, sr_params, str(out), resolution=32,
+                       steps=2, wvs=[0.665, 0.56, 0.49])
+    return str(out)
+
+
+@pytest.mark.slow
+def test_sr_per_sample_seed_contract(sr_artifact):
+    """Row i of a batched super_resolve draws the exact noise of the B=1
+    call with seed[i]; an int seed expands to per_sample_seeds; seed
+    count must match the batch (export.py sr_fn's vmapped init)."""
+    from eovax.serving import ServedModel
+    from eovax.serving.export import per_sample_seeds
+
+    served = ServedModel.load(sr_artifact)
+    g = np.random.default_rng(2)
+    x = g.standard_normal((2, 3, 32, 32)).astype(np.float32)
+
+    y = np.asarray(served.super_resolve(x, seed=[3, 5]), np.float32)
+    y0 = np.asarray(served.super_resolve(x[:1], seed=[3]), np.float32)
+    y1 = np.asarray(served.super_resolve(x[1:], seed=[5]), np.float32)
+    # cross batch-composition: identical draws, fp-tolerance results
+    np.testing.assert_allclose(y[0], y0[0], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(y[1], y1[0], atol=1e-5, rtol=1e-5)
+    # same composition, scalar vs its expansion: bitwise
+    ys = np.asarray(served.super_resolve(x, seed=7), np.float32)
+    yv = np.asarray(
+        served.super_resolve(x, seed=per_sample_seeds(7, 2)), np.float32)
+    np.testing.assert_array_equal(ys, yv)
+    # a different seed changes the draw
+    y0b = np.asarray(served.super_resolve(x[:1], seed=[5]), np.float32)
+    assert not np.allclose(y0[0], y0b[0])
+
+    with pytest.raises(ValueError, match="one seed per sample"):
+        served.super_resolve(x, seed=[1, 2, 3])
+
+
+@pytest.mark.slow
+def test_sr_scalar_seed_artifact_back_compat(sr_artifact, tmp_path):
+    """Pre-round-4 manifests (extra_args ["seed:int32"]) still load,
+    report non-batchable, and reject seed vectors with a re-export hint."""
+    import json
+    import shutil
+
+    from eovax.serving import ServedModel
+
+    legacy = tmp_path / "legacy"
+    shutil.copytree(sr_artifact, legacy)
+    mpath = legacy / "manifest.json"
+    m = json.loads(mpath.read_text())
+    m["functions"]["super_resolve"]["extra_args"] = ["seed:int32"]
+    mpath.write_text(json.dumps(m))
+
+    served = ServedModel.load(str(legacy))
+    assert not served.per_sample_seed()
+    assert not served.batchable("super_resolve")
+    assert served.batchable("reconstruct")  # static rule untouched
+    with pytest.raises(ValueError, match="predates per-sample seeds"):
+        served.super_resolve(np.zeros((2, 3, 32, 32), np.float32),
+                             seed=[1, 2])
+
+
+@pytest.mark.slow
+def test_http_sr_batched_requests_keep_their_seeds(sr_artifact):
+    """The daemon coalesces concurrent super_resolve requests on a
+    per-sample-seed artifact, and each request's reply matches the direct
+    unbatched call with its own seed (server and ServedModel share the
+    per_sample_seeds derivation)."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from eovax.serving import ServedModel
+    from eovax.serving.server import make_server
+
+    served = ServedModel.load(sr_artifact)
+    httpd = make_server(served, port=0, max_batch=4, batch_wait_ms=300.0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        g = np.random.default_rng(3)
+        x = g.standard_normal((1, 3, 32, 32)).astype(np.float32)
+        # pre-compile the coalesced size so neither request times out on
+        # a first-call XLA compile inside the window
+        served.super_resolve(np.tile(x, (2, 1, 1, 1)), seed=0)
+        results, errors = {}, []
+
+        def post(seed):
+            try:
+                buf = io.BytesIO()
+                np.save(buf, x)
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/v1/super_resolve?seed={seed}",
+                    data=buf.getvalue())
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    results[seed] = np.load(io.BytesIO(r.read()),
+                                            allow_pickle=False)
+            except Exception as e:
+                errors.append(e)
+
+        ts = [threading.Thread(target=post, args=(s,)) for s in (3, 9)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=600)
+        assert not errors, errors
+        for s in (3, 9):
+            ref = np.asarray(served.super_resolve(x, seed=s), np.float32)
+            np.testing.assert_allclose(results[s], ref,
+                                       atol=1e-5, rtol=1e-5)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+            snap = json.load(r)
+        b = snap["_batching"]["super_resolve"]
+        assert b["requests"] == 2 and b["samples"] == 2
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)
+        httpd.server_close()
