@@ -153,6 +153,11 @@ class MicroBatcher:
                 raise ValueError(
                     f"extra {k!r} must lead with the batch dim "
                     f"({x.shape[0]}), got shape {v.shape}")
+            if v.dtype.kind not in "fiub":
+                # Same contract as x: reject before enqueueing rather than
+                # failing inside the coalesced device call.
+                raise ValueError(
+                    f"extra {k!r} needs a numeric dtype, got {v.dtype}")
         # dtype is part of the key: a stray f64 (or otherwise odd-typed)
         # request must neither promote a whole coalesced f32 batch nor
         # share its failure with well-typed peers. Extras signatures are

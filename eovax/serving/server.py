@@ -23,7 +23,12 @@ Protocol (v1):
     POST /v1/super_resolve?seed=N  -> SR-pipeline artifacts only; on
                                       per-sample-seed artifacts sample i
                                       draws with seed N+i (≡ the B=1
-                                      call with seed N+i, batched or not)
+                                      call with seed N+i, batched or not).
+                                      N+i wraps at int32 (seed INT32_MAX
+                                      with B>1 yields negative seeds) —
+                                      consistent between batched and
+                                      unbatched paths, which share the
+                                      per_sample_seeds derivation.
 
 Design notes:
 - ``ThreadingHTTPServer`` so a slow client can't starve health checks;

@@ -662,7 +662,7 @@ def test_extras_ride_with_their_samples():
     """Per-sample extras (super_resolve's seed vector) concatenate and
     zero-pad exactly alongside the payload: every request keeps ITS seeds
     after coalescing — the property that makes SR batching safe at all."""
-    served, mb = _batcher(_SeedFakeServed(), max_batch=8, max_wait_ms=500.0)
+    served, mb = _batcher(_SeedFakeServed(), max_batch=8, max_wait_ms=2000.0)
     out = [None, None]
     barrier = threading.Barrier(3)
 
@@ -682,11 +682,14 @@ def test_extras_ride_with_their_samples():
     np.testing.assert_array_equal(out[0], x0 + 3.0)
     np.testing.assert_array_equal(out[1][0], x1[0] + 5.0)
     np.testing.assert_array_equal(out[1][1], x1[1] + 7.0)
-    if len(served.calls) == 1:  # coalesced: 3 samples -> the 4-bucket
-        b, seeds = served.calls[0]
-        assert b == 4
-        # pad row carries seed 0 and was sliced off before the split
-        assert seeds[3] == 0 and set(seeds[:3]) == {3, 5, 7}
+    # The 2 s window with a barrier-released enqueue guarantees coalescing
+    # short of a pathological scheduler stall — assert it, so the pad-row
+    # and seed-routing properties below always actually execute.
+    assert len(served.calls) == 1, served.calls
+    b, seeds = served.calls[0]
+    assert b == 4  # coalesced: 3 samples -> the 4-bucket
+    # pad row carries seed 0 and was sliced off before the split
+    assert seeds[3] == 0 and set(seeds[:3]) == {3, 5, 7}
     mb.close()
 
 
@@ -701,6 +704,11 @@ def test_extras_validated_and_keyed():
     with pytest.raises(ValueError, match="lead with the batch dim"):
         mb.submit("super_resolve", None, np.ones((1, 2, 2), np.float32),
                   extras={"seed": np.int32(1)})
+    with pytest.raises(ValueError, match="numeric dtype"):
+        # same pre-enqueue contract as the payload: an object-dtype extra
+        # must fail at submit, not inside the coalesced device call
+        mb.submit("super_resolve", None, np.ones((1, 2, 2), np.float32),
+                  extras={"seed": np.array(["x"], dtype=object)})
 
     res = {}
     barrier = threading.Barrier(3)
