@@ -220,7 +220,9 @@ def make_adversarial_steps(
                 image,
                 wvs,
                 rng=rng,
-                sample_posterior=True,
+                # cfg-respecting like the plain step (:131): deterministic
+                # goldens pin sample_posterior=False; training default True.
+                sample_posterior=cfg.sample_posterior,
                 scale=scale,
                 angle=angle,
                 train=True,

@@ -43,4 +43,15 @@ done
 echo
 echo "=== slow-tier summary ==="
 printf '%s' "$summary"
+
+# Perf-regression gate (VERDICT r4 next-item 3): compare the newest
+# committed per-round ledger against its predecessor. Regressions beyond
+# 3% fail the tier; intentional changes document a --waive in the round
+# record and re-run the gate by hand.
+LATEST_PERF=$(ls PERF_r*.json 2>/dev/null | sort -V | tail -1)
+if [ -n "$LATEST_PERF" ]; then
+  echo
+  echo "=== perf gate: $LATEST_PERF ==="
+  python scripts/perf_gate.py "$LATEST_PERF" || fail=1
+fi
 exit $fail

@@ -60,6 +60,57 @@ def torch_modules():
     )
 
 
+def torch_consistency_loss_module():
+    """Load the reference consistency_loss.py (EOPatchLoss, DynamicPatchGAN,
+    CharbonnierLoss, ...) for composed-step goldens.
+
+    torchmetrics is not installed in this image; its only use in the module
+    is SSIMLoss's MS-SSIM metric (consistency_loss.py:24-37), which golden
+    tests run with ssim_weight=0 (MS-SSIM parity is pinned separately in
+    tests/test_losses.py against our own torch-faithful implementation).
+    The stub returns a 1.0 score so SSIMLoss yields exactly 0.0 — matching
+    the jax side's `ssim = 0.0 if ssim_weight == 0` short-circuit."""
+    _ensure_pkg()
+    name = f"{_PKG}.modules.consistency_loss"
+    if name in sys.modules:
+        return sys.modules[name]
+
+    try:
+        import torchmetrics.image  # noqa: F401
+    except ImportError:
+        import torch
+
+        class _StubMSSSIM:
+            def __init__(self, *a, **kw):
+                pass
+
+            def __call__(self, pred, target):
+                return torch.tensor(1.0)
+
+        tm = types.ModuleType("torchmetrics")
+        tm_image = types.ModuleType("torchmetrics.image")
+        tm_image.MultiScaleStructuralSimilarityIndexMeasure = _StubMSSSIM
+        tm.image = tm_image
+        sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.image"] = tm_image
+
+    def load(mod_name: str, path: str):
+        spec = importlib.util.spec_from_file_location(mod_name, path)
+        mod = importlib.util.module_from_spec(spec)
+        mod.__package__ = f"{_PKG}.modules"
+        sys.modules[mod_name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    # consistency_loss does `from .ffl import FocalFrequencyLoss`.
+    if f"{_PKG}.modules.ffl" not in sys.modules:
+        ffl = load(f"{_PKG}.modules.ffl", f"{REF}/modules/ffl.py")
+        sys.modules[f"{_PKG}.modules"].ffl = ffl
+    mod = load(name, f"{REF}/modules/consistency_loss.py")
+    sys.modules[f"{_PKG}.modules"].consistency_loss = mod
+    return mod
+
+
 def torch_state_dict_numpy(module) -> dict:
     import numpy as np
 

@@ -237,3 +237,76 @@ def test_eo_generative_loss_runs():
     assert np.isfinite(float(total))
     d_loss, d_logs = loss.discriminator_loss(variables, x, WVS, x * 0.9)
     assert np.isfinite(float(d_loss))
+
+
+@pytest.mark.slow
+def test_adversarial_training_50_steps_stable_and_learning():
+    """VERDICT r4 next-item 5: GAN pathologies are MULTI-STEP phenomena —
+    'disc params changed' proves motion, not sanity. 50 composed gen+disc
+    steps through Stage2Trainer.fit must keep the hinge disc loss in its
+    healthy band, the adaptive weight finite inside its clamp, and the
+    reconstruction loss still improving WITH the adversarial term active
+    (new_autoencoder.py:633-682 composition)."""
+    from eovax.data.synthetic import synthetic_terramesh_batches
+    from eovax.train.stage2 import Stage2Trainer
+
+    class ListLogger:
+        def __init__(self):
+            self.rows = []
+
+        def log(self, step, metrics):
+            self.rows.append((step, dict(metrics)))
+
+    cfg = VAEConfig(
+        encoder=EncoderConfig(
+            resolution=32, in_channels=3, ch=32, ch_mult=(1, 2),
+            num_res_blocks=1, z_channels=8, use_dynamic_ops=True, stem=STEM,
+        ),
+        decoder=DecoderConfig(
+            resolution=32, out_ch=3, ch=32, ch_mult=(1, 2),
+            num_res_blocks=1, z_channels=8, use_dynamic_ops=True, stem=STEM,
+        ),
+        base_lr=1e-3,
+    )
+    model = EOFluxVAE(cfg, seed=0)
+    disc = DynamicPatchGAN(ndf=32, n_layers=2, wv_planes=64)
+    loss = EOPatchLoss(
+        disc_apply=lambda dv, x, wvs: disc.apply(dv, x, wvs),
+        disc_start=0, disc_weight=0.5, ssim_weight=0.0,
+    )
+    logger = ListLogger()
+    trainer = Stage2Trainer(
+        model=model, loss_obj=loss, cfg=cfg, max_steps=50, log_every=1,
+        discriminator=disc, logger=logger, seed=0,
+    )
+    state = trainer.fit(
+        synthetic_terramesh_batches(
+            batch_size=8, target_size=(32, 32), modalities=("S2RGB",),
+            seed=0, num_batches=50,
+        )
+    )
+    assert int(state.step) == 50 and len(logger.rows) == 50
+
+    rec = np.array([m["train/loss_rec"] for _, m in logger.rows])
+    d = np.array([m["train/loss_disc"] for _, m in logger.rows])
+    w = np.array([m["train/disc_weight"] for _, m in logger.rows])
+    g = np.array([m["train/loss_g"] for _, m in logger.rows])
+
+    # Everything finite at every step — the first casualty of a GAN blowup.
+    for arr in (rec, d, w, g):
+        assert np.isfinite(arr).all()
+
+    # Hinge disc loss: bounded below by 0 by construction; a collapse to
+    # divergence shows up as sustained growth past the 1.0 "untrained"
+    # level. Sane band per step, and the tail must not be blowing up.
+    assert (d >= 0.0).all() and (d <= 3.0).all(), (d.min(), d.max())
+    assert d[-10:].mean() <= 2.2, d[-10:]
+
+    # Adaptive weight stays inside its clamp [0, 2] (consistency_loss.py:
+    # 178-183) and is genuinely active (not pinned at 0 for the whole run).
+    assert (w >= 0.0).all() and (w <= 2.0).all()
+    assert w.max() > 0.0
+
+    # Reconstruction still learns WITH the GAN term on: the adversarial
+    # gradient must not drown the pixel objective.
+    assert rec[-5:].mean() < rec[:5].mean(), (rec[:5], rec[-5:])
