@@ -95,8 +95,7 @@ def test_previous_ledger_autodetect(tmp_path):
     assert perf_gate.previous_ledger(cur) == p4  # latest M < N, not r02
     assert perf_gate.main([cur]) == 0
     # First round: nothing to gate, passes with a note.
-    solo = _write(tmp_path / "sub" if False else tmp_path / "PERF_r01.json",
-                  PREV)
+    solo = _write(tmp_path / "PERF_r01.json", PREV)
     os.remove(tmp_path / "PERF_r02.json")
     os.remove(p4)
     os.remove(cur)
