@@ -110,15 +110,24 @@ class _Metrics:
             }
 
 
-def _npy_bytes(arr) -> bytes:
+def _npy_frame(arr) -> tuple[bytes, np.ndarray]:
+    """(.npy header bytes, contiguous wire-dtype array) — the response
+    body WITHOUT materializing it: a full ``np.save`` into BytesIO costs
+    two extra body-size copies (the BytesIO accumulation + getvalue),
+    which on a host where one core serializes every response is exactly
+    the .npy wall measured in ARCHITECTURE.md round-4 serving notes. The
+    handler streams the header then the array's own buffer straight to
+    ``sendall`` (http.server's _SocketWriter is unbuffered and takes the
+    buffer protocol — zero user-space copies beyond the D2H fetch and the
+    f32 wire cast). np.load reads the result bit-identically."""
     arr = np.asarray(arr)
     if arr.dtype not in (np.float32, np.float64):
-        # bf16-policy models return bfloat16; clients without ml_dtypes
-        # can't read that from .npy — float32 is the wire format.
         arr = arr.astype(np.float32)
+    arr = np.ascontiguousarray(arr)
     buf = io.BytesIO()
-    np.save(buf, arr)
-    return buf.getvalue()
+    np.lib.format.write_array_header_1_0(
+        buf, np.lib.format.header_data_from_array_1_0(arr))
+    return buf.getvalue(), arr
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -141,6 +150,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _reply_npy(self, header: bytes, arr: np.ndarray) -> None:
+        """200 with header + the array's own buffer (see _npy_frame)."""
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-npy")
+        self.send_header("Content-Length", str(len(header) + arr.nbytes))
+        self.end_headers()
+        self.wfile.write(header)
+        self.wfile.write(arr.data)
 
     def _json(self, code: int, obj) -> None:
         self._reply(code, json.dumps(obj).encode(), "application/json")
@@ -270,7 +288,7 @@ class _Handler(BaseHTTPRequestHandler):
                 y = self.batcher.submit(
                     name, None if name in _SEED_ROUTES else modality, x,
                     extras=extras)
-                body = _npy_bytes(y)
+                header, out = _npy_frame(y)
             else:
                 with self.lock:
                     if name in _SEED_ROUTES:
@@ -280,7 +298,8 @@ class _Handler(BaseHTTPRequestHandler):
                         if modality is not None:
                             kw["modality"] = modality
                         y = getattr(self.served, name)(x, **kw)
-                    body = _npy_bytes(y)  # device fetch — count as latency
+                    # device fetch (+ wire cast) — count as latency
+                    header, out = _npy_frame(y)
         except KeyError as e:
             # function/modality not in this artifact (served objects
             # without a manifest skip the _validate lookup, so this can
@@ -298,7 +317,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self.metrics.record(name, (time.perf_counter() - t0) * 1e3)
         try:
-            self._reply(200, body, "application/x-npy")
+            self._reply_npy(header, out)
         except (BrokenPipeError, ConnectionResetError):
             # client went away mid-reply; the request itself succeeded —
             # don't re-count it or write a 500 into the dead socket
