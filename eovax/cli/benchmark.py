@@ -404,6 +404,73 @@ def _bench_all(args) -> None:
     }
     print(f"serving_artifact_bf16: {B * 1e3 / ms:.1f} imgs/s", flush=True)
 
+    # ---- bulk latent encoding (encode_latents hot path, SURVEY §3.3) -----
+    # The BASELINE-protocol item 4 path: streaming encode_spatial_normalized
+    # over Sen2NAIP-shaped 512² LR/HR pairs through the REAL encode_split
+    # (double-buffered device dispatch, host Welford stats, IO-pool npz
+    # writes — /root/reference/encode_latents.py:305-352). Wall-clock, not
+    # slope: the host-side IO is part of the path being measured, and the
+    # per-batch np.asarray latent fetch is a real D2H barrier the tunnel
+    # cannot early-return through. One synthetic batch is pre-generated and
+    # recycled so data synthesis (which stands in for rasterio reads) stays
+    # out of the measurement.
+    import time as _time
+
+    from eovax.cli.encode_latents import encode_split
+    from eovax.models.eo_flux_vae import EOFluxVAE
+    from eovax.utils.stats import RunningStats
+
+    sr_wvs = np.asarray([0.665, 0.56, 0.49, 0.842], np.float32)
+    vae_cfg = VAEConfig(
+        encoder=EncoderConfig(in_channels=4, stem=stem),
+        decoder=DecoderConfig(out_ch=4, stem=stem),
+    )
+    bulk_model = EOFluxVAE(vae_cfg, policy=DEFAULT_POLICY, seed=0)
+    lr_b = rng.standard_normal((B, 512, 512, 4), dtype=np.float32)
+    hr_b = rng.standard_normal((B, 512, 512, 4), dtype=np.float32)
+
+    def pair_batches(n):
+        for i in range(n):
+            yield {
+                "image_lr": lr_b, "image_hr": hr_b,
+                "aoi": [f"bench_{i:03d}_{j:02d}" for j in range(B)],
+            }
+
+    bulk_out = tempfile.mkdtemp(prefix="eovax_bench_bulk_")
+    atexit.register(shutil.rmtree, bulk_out, ignore_errors=True)
+    z = vae_cfg.encoder.z_channels
+    row: dict = {"batch": B, "resolution": 512, "spatial_norm": True}
+    for tag, compress, n_batches in (
+        ("uncompressed", False, 4), ("compressed", True, 2),
+    ):
+        stats_lr = RunningStats((z,), (0, 1, 2))
+        stats_hr = RunningStats((z,), (0, 1, 2))
+        sub = os.path.join(bulk_out, tag)
+        # Warm the [B,4,512,512] encode compile outside the timed window.
+        encode_split(
+            bulk_model, pair_batches(1), sub, wvs=sr_wvs,
+            stats_lr=stats_lr, stats_hr=stats_hr, use_spatial_norm=True,
+            compress=compress,
+        )
+        t0 = _time.perf_counter()
+        n = encode_split(
+            bulk_model, pair_batches(n_batches), sub, wvs=sr_wvs,
+            stats_lr=stats_lr, stats_hr=stats_hr, use_spatial_norm=True,
+            compress=compress,
+        )
+        wall = _time.perf_counter() - t0
+        shutil.rmtree(sub, ignore_errors=True)
+        row[f"pairs_per_sec_{tag}"] = round(n / wall, 2)
+        # Each AOI pair = two 512² patch encodes (LR bicubic-upsampled to
+        # HR size in the collate + HR) — the "patches/sec" of BASELINE 4.
+        row[f"patches_512_per_sec_{tag}"] = round(2 * n / wall, 2)
+        print(
+            f"encode_latents_bulk[{tag}]: {n / wall:.2f} pairs/s "
+            f"({2 * n / wall:.2f} 512² patch encodes/s, {n} pairs)",
+            flush=True,
+        )
+    ledger["encode_latents_bulk"] = row
+
     if args.output:
         with open(args.output, "w") as f:
             json.dump(ledger, f, indent=2)
