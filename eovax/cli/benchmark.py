@@ -414,8 +414,6 @@ def _bench_all(args) -> None:
     # cannot early-return through. One synthetic batch is pre-generated and
     # recycled so data synthesis (which stands in for rasterio reads) stays
     # out of the measurement.
-    import time as _time
-
     from eovax.cli.encode_latents import encode_split
     from eovax.models.eo_flux_vae import EOFluxVAE
     from eovax.utils.stats import RunningStats
@@ -452,13 +450,13 @@ def _bench_all(args) -> None:
             stats_lr=stats_lr, stats_hr=stats_hr, use_spatial_norm=True,
             compress=compress,
         )
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         n = encode_split(
             bulk_model, pair_batches(n_batches), sub, wvs=sr_wvs,
             stats_lr=stats_lr, stats_hr=stats_hr, use_spatial_norm=True,
             compress=compress,
         )
-        wall = _time.perf_counter() - t0
+        wall = time.perf_counter() - t0
         shutil.rmtree(sub, ignore_errors=True)
         row[f"pairs_per_sec_{tag}"] = round(n / wall, 2)
         # Each AOI pair = two 512² patch encodes (LR bicubic-upsampled to

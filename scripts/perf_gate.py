@@ -36,9 +36,7 @@ import os
 import re
 import sys
 
-_THROUGHPUT = re.compile(
-    r"(imgs_per_sec|pairs_per_sec|per_sec|^throughput|throughput_)"
-)
+_THROUGHPUT = re.compile(r"(per_sec|^throughput|throughput_)")
 
 
 def tracked_leaves(ledger: dict, prefix: str = "") -> dict[str, float]:

@@ -662,7 +662,11 @@ def test_extras_ride_with_their_samples():
     """Per-sample extras (super_resolve's seed vector) concatenate and
     zero-pad exactly alongside the payload: every request keeps ITS seeds
     after coalescing — the property that makes SR batching safe at all."""
-    served, mb = _batcher(_SeedFakeServed(), max_batch=8, max_wait_ms=2000.0)
+    # 3 samples never fill the 4-bucket, so this test always sleeps the
+    # FULL window before dispatch (the pad-row property under test needs
+    # the partial bucket) — 1 s is enough barrier-released-enqueue margin
+    # without doubling the sleep.
+    served, mb = _batcher(_SeedFakeServed(), max_batch=8, max_wait_ms=1000.0)
     out = [None, None]
     barrier = threading.Barrier(3)
 
@@ -682,7 +686,7 @@ def test_extras_ride_with_their_samples():
     np.testing.assert_array_equal(out[0], x0 + 3.0)
     np.testing.assert_array_equal(out[1][0], x1[0] + 5.0)
     np.testing.assert_array_equal(out[1][1], x1[1] + 7.0)
-    # The 2 s window with a barrier-released enqueue guarantees coalescing
+    # The 1 s window with a barrier-released enqueue guarantees coalescing
     # short of a pathological scheduler stall — assert it, so the pad-row
     # and seed-routing properties below always actually execute.
     assert len(served.calls) == 1, served.calls

@@ -16,7 +16,7 @@ _SPEC = importlib.util.spec_from_file_location(
     os.path.join(os.path.dirname(__file__), "..", "scripts", "perf_gate.py"),
 )
 perf_gate = importlib.util.module_from_spec(_SPEC)
-_SPEC.loader.exec_module(_SPEC and perf_gate)
+_SPEC.loader.exec_module(perf_gate)
 
 
 def _write(path, ledger):
