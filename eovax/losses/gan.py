@@ -337,8 +337,16 @@ class EOGenerativeLoss:
         self, disc_vars, inputs, wvs, reconstructions, *, split: str = "train"
     ):
         fn = hinge_d_loss if self.disc_loss_type == "hinge" else vanilla_d_loss
-        fake = robust_normalize(jax.lax.stop_gradient(reconstructions))
-        real = robust_normalize(jax.lax.stop_gradient(inputs))
+        # Reference quirk, replicated deliberately: the discriminator
+        # branch feeds RAW detached recon + raw inputs
+        # (loss_functions.py:150-153), while the GENERATOR branch
+        # robust-normalizes recon before the disc (:120-121) — the disc
+        # trains on a different input distribution than the one the
+        # generator's adversarial term is scored on. Asymmetric, but it
+        # is the reference's behavior and the composed golden
+        # (tests/test_gan_golden.py) pins it.
+        fake = jax.lax.stop_gradient(reconstructions)
+        real = jax.lax.stop_gradient(inputs)
         logits_fake = self.disc_apply(disc_vars, fake, wvs)
         logits_real = self.disc_apply(disc_vars, real, wvs)
         d_loss = fn(logits_real, logits_fake)

@@ -110,6 +110,34 @@ class _Metrics:
             }
 
 
+def _npy_parse(raw: bytes) -> np.ndarray:
+    """Parse a request .npy body as a zero-copy view over the received
+    bytes (the request-side mirror of _npy_frame): ``np.load`` always
+    copies the body into a fresh array, a pure waste here because every
+    consumer copies again anyway (device put, or the batcher's concat).
+    Read-only view semantics are safe for the same reason. Falls back to
+    ``np.load`` for the rare formats a view can't represent (Fortran
+    order, version-3 headers); rejects object dtypes exactly like
+    ``allow_pickle=False``. Raises on malformed input (caller maps any
+    raise to a 400)."""
+    f = io.BytesIO(raw)
+    version = np.lib.format.read_magic(f)
+    if version == (1, 0):
+        shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+    elif version == (2, 0):
+        shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
+    else:
+        return np.load(io.BytesIO(raw), allow_pickle=False)
+    if dtype.hasobject:
+        raise ValueError("object arrays cannot be loaded (pickle disabled)")
+    if fortran:
+        return np.load(io.BytesIO(raw), allow_pickle=False)
+    count = int(np.prod(shape, dtype=np.int64))
+    return np.frombuffer(
+        raw, dtype=dtype, count=count, offset=f.tell()
+    ).reshape(shape)
+
+
 def _npy_frame(arr) -> tuple[bytes, np.ndarray]:
     """(.npy header bytes, contiguous wire-dtype array) — the response
     body WITHOUT materializing it: a full ``np.save`` into BytesIO costs
@@ -234,7 +262,7 @@ class _Handler(BaseHTTPRequestHandler):
                              "functions": list(_ROUTES)})
             return
         try:
-            x = np.load(io.BytesIO(raw), allow_pickle=False)
+            x = _npy_parse(raw)
         except Exception as e:  # malformed .npy
             self._json(400, {"error": f"payload is not a valid .npy: {e}"})
             return

@@ -169,6 +169,12 @@ def main() -> None:
     parser.add_argument("--requests", type=int, default=6)
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--batch-wait-ms", type=float, default=5.0)
+    parser.add_argument("--trials", type=int, default=1,
+                        help="repeat the unbatched/batched HTTP pair N "
+                        "times (export/warmup once); report per-trial "
+                        "walls and the MEDIAN of per-trial ratios — one "
+                        "trial's ratio swings ±20%% with tunnel variance "
+                        "(ARCHITECTURE.md round-5 serving notes)")
     parser.add_argument("--device-only", action="store_true",
                         help="skip the HTTP modes; measure only the "
                         "device-intrinsic serialized-vs-coalesced ratio")
@@ -253,39 +259,57 @@ def main() -> None:
         x_bytes = buf.getvalue()
 
         total = args.clients * args.requests
-        for mode, max_batch in (("unbatched", 0), ("batched", args.max_batch)):
-            httpd = make_server(served, port=0, max_batch=max_batch,
-                                batch_wait_ms=args.batch_wait_ms)
-            port = httpd.server_address[1]
-            t = threading.Thread(target=httpd.serve_forever, daemon=True)
-            t.start()
-            try:
-                _drive(port, args.clients, 1, x_bytes)  # connection warm
-                wall, errors = _drive(port, args.clients, args.requests,
-                                      x_bytes)
-                assert not errors, errors
-                with urllib.request.urlopen(
-                        f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
-                    m = json.load(r)
-                row = {
-                    "wall_s": round(wall, 3),
-                    "imgs_per_sec": round(total / wall, 1),
-                    "latency_p50_ms": m["reconstruct"].get("p50_ms"),
-                    "latency_p99_ms": m["reconstruct"].get("p99_ms"),
-                }
-                if "_batching" in m:
-                    b = m["_batching"]["reconstruct"]
-                    row["mean_samples_per_batch"] = b["mean_samples_per_batch"]
-                    row["pad_waste_pct"] = b["pad_waste_pct"]
-                result[mode] = row
-                print(f"{mode}: {row}", flush=True)
-            finally:
-                httpd.shutdown()
-                t.join(timeout=10)
-                httpd.server_close()
-        result["speedup"] = round(
-            result["batched"]["imgs_per_sec"]
-            / result["unbatched"]["imgs_per_sec"], 2)
+        walls: dict[str, list[float]] = {"unbatched": [], "batched": []}
+        for trial in range(args.trials):
+            for mode, max_batch in (("unbatched", 0),
+                                    ("batched", args.max_batch)):
+                httpd = make_server(served, port=0, max_batch=max_batch,
+                                    batch_wait_ms=args.batch_wait_ms)
+                port = httpd.server_address[1]
+                t = threading.Thread(target=httpd.serve_forever, daemon=True)
+                t.start()
+                try:
+                    _drive(port, args.clients, 1, x_bytes)  # connection warm
+                    wall, errors = _drive(port, args.clients, args.requests,
+                                          x_bytes)
+                    assert not errors, errors
+                    walls[mode].append(wall)
+                    with urllib.request.urlopen(
+                            f"http://127.0.0.1:{port}/metrics",
+                            timeout=30) as r:
+                        m = json.load(r)
+                    row = {
+                        "wall_s": round(wall, 3),
+                        "imgs_per_sec": round(total / wall, 1),
+                        "latency_p50_ms": m["reconstruct"].get("p50_ms"),
+                        "latency_p99_ms": m["reconstruct"].get("p99_ms"),
+                    }
+                    if "_batching" in m:
+                        b = m["_batching"]["reconstruct"]
+                        row["mean_samples_per_batch"] = (
+                            b["mean_samples_per_batch"])
+                        row["pad_waste_pct"] = b["pad_waste_pct"]
+                    result[mode] = row  # last trial's detail row
+                    print(f"[trial {trial + 1}/{args.trials}] {mode}: {row}",
+                          flush=True)
+                finally:
+                    httpd.shutdown()
+                    t.join(timeout=10)
+                    httpd.server_close()
+        ratios = sorted(u / b for u, b in zip(walls["unbatched"],
+                                             walls["batched"]))
+        result["trials"] = {
+            "n": args.trials,
+            "unbatched_wall_s": [round(w, 3) for w in walls["unbatched"]],
+            "batched_wall_s": [round(w, 3) for w in walls["batched"]],
+            "per_trial_speedup": [round(r, 2) for r in ratios],
+        }
+        # Median of per-trial ratios: each trial's pair shares one tunnel
+        # session back-to-back, so the ratio is far more stable than the
+        # absolute rates.
+        result["speedup"] = round(ratios[len(ratios) // 2], 2)
+        print(f"speedup per trial {result['trials']['per_trial_speedup']} "
+              f"-> median {result['speedup']}", flush=True)
         print("JSON_RESULT:" + json.dumps(result), flush=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -111,6 +111,74 @@ def torch_consistency_loss_module():
     return mod
 
 
+def torch_loss_functions_module():
+    """Load the reference loss_functions.py (EOGenerativeLoss) +
+    loss_utils.py (NLayerDiscriminator, hinge/vanilla objectives).
+
+    loss_functions imports the `focal_frequency_loss` PIP package
+    (loss_functions.py:8), absent from this image; the reference carries
+    its own vendored copy of the same class (modules/ffl.py — SURVEY.md
+    §Key-deps note), so the stub aliases the vendored implementation
+    rather than skipping the FFL term."""
+    _ensure_pkg()
+    name = f"{_PKG}.modules.loss_functions"
+    if name in sys.modules:
+        return sys.modules[name], sys.modules[f"{_PKG}.modules.loss_utils"]
+
+    def load(mod_name: str, path: str):
+        spec = importlib.util.spec_from_file_location(mod_name, path)
+        mod = importlib.util.module_from_spec(spec)
+        mod.__package__ = f"{_PKG}.modules"
+        sys.modules[mod_name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    if f"{_PKG}.modules.ffl" not in sys.modules:
+        ffl = load(f"{_PKG}.modules.ffl", f"{REF}/modules/ffl.py")
+        sys.modules[f"{_PKG}.modules"].ffl = ffl
+    try:
+        import focal_frequency_loss  # noqa: F401
+    except ImportError:
+        import torch
+
+        _Vendored = sys.modules[f"{_PKG}.modules.ffl"].FocalFrequencyLoss
+
+        class _PipSemanticsFFL(_Vendored):
+            """The vendored copy's batch_matrix=False branch is BROKEN
+            upstream (ffl.py:76 indexes the [B,P]-flattened max with 5
+            indices — documented in tests/test_losses.py), while the pip
+            package loss_functions.py actually imports reduces the
+            spectrum max over the SPATIAL dims per [B,P,C]. Execute the
+            vendored code with only that reduction fixed to the pip
+            semantics (which eovax/losses/ffl.py implements)."""
+
+            def loss_formulation(self, recon_freq, real_freq, matrix=None):
+                if matrix is None and not self.batch_matrix:
+                    tmp = (recon_freq - real_freq) ** 2
+                    m = torch.sqrt(tmp[..., 0] + tmp[..., 1] + 1e-8) ** self.alpha
+                    if self.log_matrix:
+                        m = torch.log1p(m)
+                    max_val = m.flatten(3).max(-1).values[..., None, None]
+                    max_val = torch.where(
+                        torch.isfinite(max_val) & (max_val > 0),
+                        max_val, torch.ones_like(max_val),
+                    )
+                    w = (m / max_val).clamp(0.0, 1.0).detach()
+                    freq_distance = tmp[..., 0] + tmp[..., 1]
+                    return torch.mean(w * freq_distance)
+                return super().loss_formulation(recon_freq, real_freq, matrix)
+
+        stub = types.ModuleType("focal_frequency_loss")
+        stub.FocalFrequencyLoss = _PipSemanticsFFL
+        sys.modules["focal_frequency_loss"] = stub
+
+    lu = load(f"{_PKG}.modules.loss_utils", f"{REF}/modules/loss_utils.py")
+    sys.modules[f"{_PKG}.modules"].loss_utils = lu
+    lf = load(name, f"{REF}/modules/loss_functions.py")
+    sys.modules[f"{_PKG}.modules"].loss_functions = lf
+    return lf, lu
+
+
 def torch_state_dict_numpy(module) -> dict:
     import numpy as np
 

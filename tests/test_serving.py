@@ -974,3 +974,41 @@ def test_npy_frame_bit_identical_to_np_save():
         assert wire == buf.getvalue()
         back = np.load(io.BytesIO(wire), allow_pickle=False)
         np.testing.assert_array_equal(back, ref_arr)
+
+
+def test_npy_parse_zero_copy_and_rejections():
+    """Request-side mirror (server._npy_parse): same array np.load would
+    produce, but as a view over the request bytes; pickle payloads and
+    malformed bodies raise (-> 400 in the handler)."""
+    import io
+
+    from eovax.serving.server import _npy_parse
+
+    g = np.random.default_rng(1)
+    a = g.standard_normal((3, 2, 5)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, a)
+    raw = buf.getvalue()
+    x = _npy_parse(raw)
+    np.testing.assert_array_equal(x, a)
+    assert not x.flags.writeable  # view over the request bytes
+    assert x.base is not None
+
+    # Fortran-order bodies fall back to np.load (still correct).
+    buf = io.BytesIO()
+    np.save(buf, np.asfortranarray(a))
+    np.testing.assert_array_equal(_npy_parse(buf.getvalue()), a)
+
+    # Object/pickle payloads rejected like allow_pickle=False.
+    buf = io.BytesIO()
+    np.save(buf, np.array([{"x": 1}], dtype=object), allow_pickle=True)
+    with pytest.raises(ValueError):
+        _npy_parse(buf.getvalue())
+
+    # Truncated body raises instead of returning garbage.
+    with pytest.raises(ValueError):
+        _npy_parse(raw[: len(raw) - 8])
+
+    # Garbage raises.
+    with pytest.raises(Exception):
+        _npy_parse(b"not an npy at all")
