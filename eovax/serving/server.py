@@ -133,6 +133,11 @@ def _npy_parse(raw: bytes) -> np.ndarray:
     if fortran:
         return np.load(io.BytesIO(raw), allow_pickle=False)
     count = int(np.prod(shape, dtype=np.int64))
+    if count < 0 or count * dtype.itemsize > len(raw) - f.tell():
+        # count < 0 guards int64 overflow of absurd header shapes — a
+        # negative count would make frombuffer read "the whole buffer".
+        raise ValueError(
+            f"npy header shape {shape} inconsistent with body size")
     return np.frombuffer(
         raw, dtype=dtype, count=count, offset=f.tell()
     ).reshape(shape)

@@ -150,3 +150,94 @@ def test_stage2_loss_trajectory_matches_torch():
     bs = jax.device_get(state.batch_stats)
     leaves = jax.tree_util.tree_leaves(bs)
     assert all(np.isfinite(v).all() for v in leaves)
+
+
+@pytest.mark.slow
+def test_eqvae_mode_step_matches_torch():
+    """EQ-VAE latent-equivariance branch golden (new_autoencoder.py:
+    605-631 + _apply_scale :520-531): scale=0.5 + rot90(k=1) on the
+    latent, area-downscaled + rotated target, Charbonnier — the optional
+    path the shipped config disables (p_prior=0) but the API exposes.
+    Pins: bilinear latent rescale snapped to patch multiples with
+    align_corners=False and NO antialias, rot90 axis convention, and the
+    area-interp target geometry."""
+    import torch.nn.functional as F
+
+    torch.manual_seed(19)
+    enc_t = model_t.Encoder(**ENC_KW)
+    dec_t = model_t.Decoder(**DEC_KW)
+    g = np.random.default_rng(23)
+    batches = [
+        g.standard_normal((8, 3, 32, 32), dtype=np.float32) for _ in range(2)
+    ]
+    enc_sd = torch_state_dict_numpy(enc_t)
+    dec_sd = torch_state_dict_numpy(dec_t)
+
+    SCALE, ANGLE = 0.5, 1
+    bn = torch.nn.BatchNorm2d(PS * PS * 8, affine=False,
+                              track_running_stats=True)
+    params = list(enc_t.parameters()) + list(dec_t.parameters())
+    opt = torch.optim.Adam(params, lr=LR)
+    enc_t.train(), dec_t.train(), bn.train()
+    ref_losses = []
+    for x in batches:
+        opt.zero_grad()
+        xt = torch.from_numpy(x)
+        moments = enc_t(xt, torch.from_numpy(WVS))
+        z = dist_t.DiagonalGaussianDistribution(moments).mode()
+        h, w = z.shape[-2:]
+        new_h = round(h * SCALE / PS) * PS  # _apply_scale snap (:523-528)
+        new_w = round(w * SCALE / PS) * PS
+        z = F.interpolate(z, size=(new_h, new_w), mode="bilinear",
+                          align_corners=False)
+        z = torch.rot90(z, k=ANGLE, dims=[-1, -2])
+        z_sh = rearrange(z, "b c (i pi) (j pj) -> b (c pi pj) i j",
+                         pi=PS, pj=PS)
+        z_norm = bn(z_sh)
+        s = torch.sqrt(bn.running_var.view(1, -1, 1, 1) + 1e-4)
+        m = bn.running_mean.view(1, -1, 1, 1)
+        z_dec = rearrange(z_norm * s + m,
+                          "b (c pi pj) i j -> b c (i pi) (j pj)",
+                          pi=PS, pj=PS)
+        recon = dec_t(z_dec, torch.from_numpy(WVS))
+        with torch.no_grad():  # training_step:613-618
+            target = F.interpolate(xt, size=recon.shape[-2:], mode="area")
+            target = torch.rot90(target, k=ANGLE, dims=[-1, -2])
+        loss = _charbonnier(recon, target)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(params, CLIP)
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+
+    cfg = VAEConfig(
+        encoder=EncoderConfig.from_dict(dict(ENC_KW)),
+        decoder=DecoderConfig.from_dict(dict(DEC_KW)),
+        base_lr=LR, clip_grad=CLIP, sample_posterior=False,
+    )
+    model = EOFluxVAE(cfg, seed=0)
+    template = model.variables
+    upd_e, rep_e = convert_state_dict(enc_sd, template, prefix=("encoder",))
+    upd_d, rep_d = convert_state_dict(dec_sd, template, prefix=("decoder",))
+    assert not rep_e.unexpected and not rep_d.unexpected
+    variables = {k: dict(v) for k, v in template.items()}
+    _merge_arrays(variables, upd_e)
+    _merge_arrays(variables, upd_d)
+    model.variables = variables
+
+    loss_obj = EOConsistencyLoss(pixel_weight=1.0, rec_loss_type="char",
+                                 msssim_weight=0.0)
+    trainer = Stage2Trainer(
+        model=model, loss_obj=loss_obj, cfg=cfg, max_steps=2, log_every=0,
+        seed=0,
+    )
+    state = trainer.init_state()
+    step_fn = trainer._jitted("train", SCALE, ANGLE)
+    jax_losses = []
+    for x in batches:
+        x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        state, logs = step_fn(state, x_nhwc, jnp.asarray(WVS),
+                              jax.random.PRNGKey(0))
+        jax_losses.append(float(logs["train/loss_total"]))
+
+    np.testing.assert_allclose(jax_losses[0], ref_losses[0], rtol=2e-5)
+    np.testing.assert_allclose(jax_losses, ref_losses, rtol=5e-3)
