@@ -310,3 +310,31 @@ def test_adversarial_training_50_steps_stable_and_learning():
     # Reconstruction still learns WITH the GAN term on: the adversarial
     # gradient must not drown the pixel objective.
     assert rec[-5:].mean() < rec[:5].mean(), (rec[:5], rec[-5:])
+
+
+def test_generative_disc_branch_feeds_raw_inputs():
+    """Reference quirk regression guard (loss_functions.py:150-153): the
+    EOGenerativeLoss DISC branch consumes raw detached recon + raw inputs
+    — only the GENERATOR branch robust-normalizes before the disc. The
+    composed golden pins it end-to-end; this pins it at the objective
+    level so a 'cleanup' can't silently re-normalize."""
+    seen = []
+
+    def disc_apply(dv, x, wvs):
+        seen.append(np.asarray(x))
+        return jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+
+    loss = EOGenerativeLoss(disc_apply=disc_apply, perceptual_weight=0.0,
+                            disc_weight=0.75)
+    inputs = jnp.full((2, 8, 8, 3), 5.0)   # outside the ±3 normalize clip
+    recon = jnp.full((2, 8, 8, 3), -4.0)
+    d_loss, _ = loss.discriminator_loss(None, inputs, WVS, recon)
+    assert np.isfinite(float(d_loss))
+    # fake first, then real — both RAW (a robust_normalize would have
+    # mapped them to -1.0 / +1.0).
+    np.testing.assert_array_equal(seen[0], np.full((2, 8, 8, 3), -4.0))
+    np.testing.assert_array_equal(seen[1], np.full((2, 8, 8, 3), 5.0))
+    # The GENERATOR branch does normalize: its disc sees recon/3 clipped.
+    seen.clear()
+    loss.generator_loss(None, inputs, WVS, recon, global_step=0)
+    np.testing.assert_allclose(seen[0], np.full((2, 8, 8, 3), -1.0))
