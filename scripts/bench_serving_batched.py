@@ -184,6 +184,10 @@ def main() -> None:
                         "instead of the VAE surface")
     parser.add_argument("--sr-steps", type=int, default=50)
     args = parser.parse_args()
+    if args.trials < 1:
+        # Fail before the minutes of export/warmup tunnel compiles an
+        # empty trial loop would discard.
+        parser.error(f"--trials must be >= 1, got {args.trials}")
 
     if args.sr:
         from eovax.cli.common import enable_compile_cache
@@ -296,6 +300,8 @@ def main() -> None:
                     httpd.shutdown()
                     t.join(timeout=10)
                     httpd.server_close()
+        import statistics
+
         ratios = sorted(u / b for u, b in zip(walls["unbatched"],
                                              walls["batched"]))
         result["trials"] = {
@@ -306,8 +312,9 @@ def main() -> None:
         }
         # Median of per-trial ratios: each trial's pair shares one tunnel
         # session back-to-back, so the ratio is far more stable than the
-        # absolute rates.
-        result["speedup"] = round(ratios[len(ratios) // 2], 2)
+        # absolute rates. (statistics.median — averages the middle pair
+        # for even N; the upper-middle element would bias upward.)
+        result["speedup"] = round(statistics.median(ratios), 2)
         print(f"speedup per trial {result['trials']['per_trial_speedup']} "
               f"-> median {result['speedup']}", flush=True)
         print("JSON_RESULT:" + json.dumps(result), flush=True)

@@ -2,9 +2,9 @@
 
 The reference package's __init__ chain pulls in lightning (not installed),
 so we materialize only the dependency-light module files
-(layers/dynamic_conv/distributions/model) under a synthetic package.
-Reference code is executed, never copied, to produce parity fixtures —
-the strategy recommended in SURVEY.md §4.
+(layers/dynamic_conv/distributions/model/loss modules) under a synthetic
+package. Reference code is executed, never copied, to produce parity
+fixtures — the strategy recommended in SURVEY.md §4.
 """
 
 from __future__ import annotations
@@ -18,6 +18,29 @@ REF = "/root/reference/eo_vae/models"
 _PKG = "eoref"
 
 
+def _load(mod_name: str, path: str, package: str | None = None):
+    """spec_from_file_location → exec under the synthetic package (the one
+    shared loading dance — ``package`` makes `from .x import ...` resolve)."""
+    spec = importlib.util.spec_from_file_location(mod_name, path)
+    mod = importlib.util.module_from_spec(spec)
+    if package is not None:
+        mod.__package__ = package
+    sys.modules[mod_name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_submodule(stem: str):
+    """Load REF/modules/{stem}.py as eoref.modules.{stem} (idempotent) and
+    alias it on the package module for relative imports."""
+    name = f"{_PKG}.modules.{stem}"
+    if name not in sys.modules:
+        mod = _load(name, f"{REF}/modules/{stem}.py",
+                    package=f"{_PKG}.modules")
+        setattr(sys.modules[f"{_PKG}.modules"], stem, mod)
+    return sys.modules[name]
+
+
 def _ensure_pkg():
     if _PKG in sys.modules:
         return
@@ -26,27 +49,11 @@ def _ensure_pkg():
         mod.__path__ = []
         sys.modules[name] = mod
 
-    def load(name: str, path: str):
-        spec = importlib.util.spec_from_file_location(name, path)
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules[name] = mod
-        spec.loader.exec_module(mod)
-        return mod
-
-    load(f"{_PKG}.modules.layers", f"{REF}/modules/layers.py")
-    load(f"{_PKG}.modules.dynamic_conv", f"{REF}/modules/dynamic_conv.py")
-    load(f"{_PKG}.modules.distributions", f"{REF}/modules/distributions.py")
+    for stem in ("layers", "dynamic_conv", "distributions"):
+        _load_submodule(stem)
     # model.py does `from .modules.dynamic_conv import ...` relative to its
-    # package — emulate by aliasing under the synthetic package root.
-    sys.modules[f"{_PKG}.modules"].layers = sys.modules[f"{_PKG}.modules.layers"]
-    sys.modules[f"{_PKG}.modules"].dynamic_conv = sys.modules[f"{_PKG}.modules.dynamic_conv"]
-    spec = importlib.util.spec_from_file_location(
-        f"{_PKG}.model", f"{REF}/model.py", submodule_search_locations=[]
-    )
-    mod = importlib.util.module_from_spec(spec)
-    mod.__package__ = _PKG
-    sys.modules[f"{_PKG}.model"] = mod
-    spec.loader.exec_module(mod)
+    # package — emulate by loading it with the synthetic package root.
+    _load(f"{_PKG}.model", f"{REF}/model.py", package=_PKG)
 
 
 def torch_modules():
@@ -94,21 +101,8 @@ def torch_consistency_loss_module():
         sys.modules["torchmetrics"] = tm
         sys.modules["torchmetrics.image"] = tm_image
 
-    def load(mod_name: str, path: str):
-        spec = importlib.util.spec_from_file_location(mod_name, path)
-        mod = importlib.util.module_from_spec(spec)
-        mod.__package__ = f"{_PKG}.modules"
-        sys.modules[mod_name] = mod
-        spec.loader.exec_module(mod)
-        return mod
-
-    # consistency_loss does `from .ffl import FocalFrequencyLoss`.
-    if f"{_PKG}.modules.ffl" not in sys.modules:
-        ffl = load(f"{_PKG}.modules.ffl", f"{REF}/modules/ffl.py")
-        sys.modules[f"{_PKG}.modules"].ffl = ffl
-    mod = load(name, f"{REF}/modules/consistency_loss.py")
-    sys.modules[f"{_PKG}.modules"].consistency_loss = mod
-    return mod
+    _load_submodule("ffl")  # consistency_loss: `from .ffl import ...`
+    return _load_submodule("consistency_loss")
 
 
 def torch_loss_functions_module():
@@ -125,17 +119,7 @@ def torch_loss_functions_module():
     if name in sys.modules:
         return sys.modules[name], sys.modules[f"{_PKG}.modules.loss_utils"]
 
-    def load(mod_name: str, path: str):
-        spec = importlib.util.spec_from_file_location(mod_name, path)
-        mod = importlib.util.module_from_spec(spec)
-        mod.__package__ = f"{_PKG}.modules"
-        sys.modules[mod_name] = mod
-        spec.loader.exec_module(mod)
-        return mod
-
-    if f"{_PKG}.modules.ffl" not in sys.modules:
-        ffl = load(f"{_PKG}.modules.ffl", f"{REF}/modules/ffl.py")
-        sys.modules[f"{_PKG}.modules"].ffl = ffl
+    _load_submodule("ffl")
     try:
         import focal_frequency_loss  # noqa: F401
     except ImportError:
@@ -172,10 +156,8 @@ def torch_loss_functions_module():
         stub.FocalFrequencyLoss = _PipSemanticsFFL
         sys.modules["focal_frequency_loss"] = stub
 
-    lu = load(f"{_PKG}.modules.loss_utils", f"{REF}/modules/loss_utils.py")
-    sys.modules[f"{_PKG}.modules"].loss_utils = lu
-    lf = load(name, f"{REF}/modules/loss_functions.py")
-    sys.modules[f"{_PKG}.modules"].loss_functions = lf
+    lu = _load_submodule("loss_utils")
+    lf = _load_submodule("loss_functions")
     return lf, lu
 
 
